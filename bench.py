@@ -1,0 +1,94 @@
+"""North-star benchmark: autoregressive layout rollout frames/sec/chip.
+
+Workload (BASELINE.md): GridNet (filters 32/64/96) autoregressive rollout at
+256x256 — the reference's ``generate_sequence`` semantics (8-channel input,
+argmax layout feedback, 8 future frames). Ours runs as ONE compiled
+``lax.scan`` in bf16, batched; the baseline is the reference-equivalent
+torch-CPU rollout measured by tools/torch_cpu_baseline.py (cached in
+BASELINE_CPU.json; the reference publishes no numbers).
+
+Timing note: ``block_until_ready`` is unreliable on the tunneled TPU
+platform, so the rollout is wrapped in a device-side reduction and synced by
+fetching the scalar — the transfer cost is negligible.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+BATCH = 16
+N_FRAMES = 8
+HW = 256
+REPEATS = 3
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _load_baseline() -> float:
+    path = os.path.join(_REPO, "BASELINE_CPU.json")
+    if not os.path.exists(path):
+        subprocess.run(
+            [sys.executable, os.path.join(_REPO, "tools",
+                                          "torch_cpu_baseline.py")],
+            check=True, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+    with open(path) as f:
+        return float(json.load(f)["frames_per_sec"])
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from video_layout_generation_tpu.models import GridNet
+    from video_layout_generation_tpu.train.rollout import make_rollout_fn
+
+    model = GridNet(n_channels=8, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, HW, HW, 8), jnp.float32))
+
+    ro = make_rollout_fn(model.apply, None, n_frames=N_FRAMES,
+                         use_edges=False, jit=False)
+    # device-side reduction -> sync by fetching one scalar
+    fn = jax.jit(lambda p, a, b, c, d: jax.tree_util.tree_map(
+        lambda t: t.sum(), ro(p, None, a, b, c, d)))
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((BATCH, HW, HW, 3), np.float32))
+    seg = jnp.asarray(
+        rng.integers(0, 20, (BATCH, HW, HW, 1)).astype(np.float32))
+
+    float(fn(params, img, img, seg, seg)[0])  # compile + warmup
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(fn(params, img, img, seg, seg)[0])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    fps = BATCH * N_FRAMES / best
+
+    baseline = _load_baseline()
+    print(json.dumps({
+        "metric": "layout rollout frames/sec/chip (256px, GridNet, "
+                  "8-frame autoregressive, batch %d)" % BATCH,
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Shape/dtype contracts for every model family (SURVEY.md §2a)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_layout_generation_tpu import models
+
+
+def _init_and_apply(model, *args, **kwargs):
+    variables = jax.jit(model.init)(jax.random.key(0), *args, **kwargs)
+    if "batch_stats" in variables:
+        out = jax.jit(lambda v, *a: model.apply(
+            v, *a, mutable=["batch_stats"], **kwargs))(variables, *args)[0]
+    else:
+        out = jax.jit(lambda v, *a: model.apply(v, *a, **kwargs))(
+            variables, *args)
+    return variables, out
+
+
+@pytest.mark.parametrize("coord", [False, True])
+def test_gridnet_dual_heads(coord):
+    m = models.GridNet(n_channels=10, coord_in=coord,
+                       filters_level=(8, 12, 16))
+    x = jnp.zeros((2, 32, 32, 10))
+    _, (seg, img) = _init_and_apply(m, x)
+    assert seg.shape == (2, 32, 32, 20)
+    assert img.shape == (2, 32, 32, 3)
+    assert seg.dtype == jnp.float32 and img.dtype == jnp.float32
+
+
+def test_gridnet_any_resolution_coord():
+    # the reference CoordConv was hardwired to 256x256 (src/models/modules.py:69);
+    # ours must work at any static resolution
+    m = models.CoordGridNet(n_channels=10, filters_level=(4, 6, 8))
+    x = jnp.zeros((1, 32, 48, 10))
+    _, (seg, img) = _init_and_apply(m, x)
+    assert seg.shape == (1, 32, 48, 20)
+    assert img.shape == (1, 32, 48, 3)
+
+
+def test_gridnet_remat_runs():
+    # remat shares the same param structure and output contract; numerical
+    # equivalence is guaranteed by jax.checkpoint semantics — here we verify
+    # the lifted transform wires up (params reusable across both variants).
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 10))
+    m0 = models.GridNet(filters_level=(4, 6, 8), remat=False)
+    m1 = models.GridNet(filters_level=(4, 6, 8), remat=True)
+    v = jax.jit(m0.init)(jax.random.key(0), x)
+    s1, i1 = jax.jit(m1.apply)(v, x)
+    assert s1.shape == (1, 16, 16, 20) and bool(jnp.isfinite(s1).all())
+
+
+def test_hned_six_outputs():
+    m = models.HNED()
+    x = jnp.zeros((1, 32, 32, 3))
+    _, out = _init_and_apply(m, x)
+    assert len(out) == 6
+    for o in out:
+        assert o.shape == (1, 32, 32, 1)
+        assert float(o.min()) >= 0.0 and float(o.max()) <= 1.0
+
+
+def test_resnet_generator_dual_heads():
+    m = models.ResnetGenerator(input_nc=8, ngf=8, n_blocks=2)
+    x = jnp.zeros((1, 32, 32, 8))
+    _, (seg, img) = _init_and_apply(m, x)
+    assert seg.shape == (1, 32, 32, 20)
+    assert img.shape == (1, 32, 32, 3)
+    assert float(jnp.max(jnp.abs(img))) <= 1.0  # tanh head
+
+
+def test_unet_generator():
+    m = models.UnetGenerator(input_nc=8, output_nc=3, num_downs=5, ngf=4)
+    x = jnp.zeros((1, 32, 32, 8))
+    _, out = _init_and_apply(m, x)
+    assert out.shape == (1, 32, 32, 3)
+
+
+@pytest.mark.parametrize("norm", ["instance", "batch", "none"])
+def test_nlayer_discriminator_patch_logits(norm):
+    m = models.NLayerDiscriminator(input_nc=9, ndf=8, n_layers=3, norm=norm)
+    x = jnp.zeros((2, 32, 32, 9))
+    variables = jax.jit(m.init)(jax.random.key(0), x)
+    if norm == "batch":
+        out = m.apply(variables, x, mutable=["batch_stats"])[0]
+    else:
+        out = m.apply(variables, x)
+    # PatchGAN on 32px input: 32 -> 16 -> 8 -> 4 -> 3 -> 2
+    assert out.shape == (2, 2, 2, 1)
+
+
+def test_pixel_discriminator():
+    m = models.PixelDiscriminator(input_nc=9, ndf=8)
+    x = jnp.zeros((2, 32, 32, 9))
+    _, out = _init_and_apply(m, x)
+    assert out.shape == (2, 32, 32, 1)
+
+
+def test_legacy_unet_composites_known_region():
+    m = models.UNet(n_channels=3, n_classes=5)
+    img = jnp.zeros((1, 32, 32, 3))
+    seg = jax.nn.one_hot(jnp.zeros((1, 32, 32), jnp.int32), 5)
+    mask = jnp.zeros((1, 32, 32))  # mask==0 everywhere -> prediction region
+    variables = m.init(jax.random.key(0), img, seg, mask)
+    out = m.apply(variables, img, seg, mask)
+    assert out.shape == (1, 32, 32, 5)
+
+
+def test_legacy_encoder_decoder_roundtrip_shape():
+    m = models.EncoderDecoder(n_channels=15, n_classes=29)
+    x = jnp.zeros((1, 32, 32, 15))
+    _, out = _init_and_apply(m, x)
+    assert out.shape == (1, 32, 32, 29)
+
+
+def test_simple29_encoderdecoder():
+    m = models.simple29_encoderdecoder(embedding_dim=8)
+    mask = jnp.zeros((1, 32, 32), jnp.int32).at[:, 8:16, 8:16].set(1)
+    seg_gt = jnp.zeros((1, 32, 32), jnp.int32)
+    variables = m.init(jax.random.key(0), mask, seg_gt)
+    out = m.apply(variables, mask, seg_gt)
+    assert out.shape == (1, 32, 32, 29)
+    # known region must be the exact one-hot of seg_gt
+    known = np.asarray(out)[0, 0, 0]
+    np.testing.assert_allclose(known, np.eye(29)[0], atol=1e-6)
+
+
+def test_registry_lookup():
+    assert models.get_model_cls("CoordGridNet") is models.CoordGridNet
+    with pytest.raises(KeyError):
+        models.get_model_cls("nope")

@@ -1,0 +1,98 @@
+"""Golden-value parity tests for ops against torch/cv2 semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from video_layout_generation_tpu import ops
+
+
+def _rand(*shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((8, 8), (16, 16)),
+                                          ((16, 12), (32, 24)),
+                                          ((16, 16), (7, 5))])
+def test_bilinear_align_corners_matches_torch(in_hw, out_hw):
+    x = _rand(2, *in_hw, 3)
+    ours = np.asarray(ops.resize_bilinear(jnp.asarray(x), out_hw,
+                                          align_corners=True))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.interpolate(xt, size=out_hw, mode="bilinear",
+                        align_corners=True).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((8, 8), (32, 32)),
+                                          ((13, 9), (26, 18))])
+def test_bilinear_half_pixel_matches_torch(in_hw, out_hw):
+    x = _rand(1, *in_hw, 2, seed=1)
+    ours = np.asarray(ops.resize_bilinear(jnp.asarray(x), out_hw,
+                                          align_corners=False))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.interpolate(xt, size=out_hw, mode="bilinear",
+                        align_corners=False).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_nearest_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    x = (np.random.default_rng(2).integers(0, 20, (37, 53))
+         .astype(np.uint8))
+    ours = np.asarray(ops.resize_nearest(
+        jnp.asarray(x.astype(np.int32))[..., None], (16, 16)))[..., 0]
+    ref = cv2.resize(x, dsize=(16, 16), interpolation=cv2.INTER_NEAREST)
+    np.testing.assert_array_equal(ours, ref.astype(np.int32))
+
+
+def test_avg_pool_3x3_matches_torch():
+    x = _rand(2, 10, 10, 4, seed=3)
+    ours = np.asarray(ops.avg_pool_3x3_valid(jnp.asarray(x)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.avg_pool2d(xt, 3, 1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_max_pool_2x2_matches_torch():
+    x = _rand(1, 8, 8, 3, seed=4)
+    ours = np.asarray(ops.max_pool_2x2(jnp.asarray(x)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.max_pool2d(xt, 2, 2).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_colorize_seg_lut():
+    seg = jnp.asarray([[0, 13], [19, 1]], jnp.int32)[None]
+    rgb = np.asarray(ops.colorize_seg(seg))
+    assert rgb.shape == (1, 2, 2, 3)
+    np.testing.assert_allclose(rgb[0, 0, 0] * 255, [128, 64, 128], atol=1e-4)
+    np.testing.assert_allclose(rgb[0, 1, 0] * 255, [0, 0, 0], atol=1e-4)
+
+
+def test_colorize_argmax():
+    logits = jnp.zeros((1, 2, 2, 20)).at[..., 10].set(5.0)  # sky everywhere
+    rgb = np.asarray(ops.colorize_seg(logits, argmax=True))
+    np.testing.assert_allclose(rgb[0, 0, 0] * 255, [70, 130, 180], atol=1e-4)
+
+
+def test_one_hot_matches_eye_indexing():
+    seg = jnp.asarray([[0, 2], [1, 4]], jnp.int32)[None]
+    oh = np.asarray(ops.seg_one_hot(seg, 5))
+    ref = np.eye(5, dtype=np.float32)[np.asarray(seg)]
+    np.testing.assert_array_equal(oh, ref)
+
+
+def test_add_coord_channels_range_and_shape():
+    x = jnp.zeros((2, 5, 9, 3))
+    y = ops.add_coord_channels(x)
+    assert y.shape == (2, 5, 9, 5)
+    yy = np.asarray(y)
+    # channel -2 varies along H in [-1, 1]; channel -1 along W
+    np.testing.assert_allclose(yy[0, :, 0, 3], np.linspace(-1, 1, 5),
+                               atol=1e-6)
+    np.testing.assert_allclose(yy[0, 0, :, 4], np.linspace(-1, 1, 9),
+                               atol=1e-6)

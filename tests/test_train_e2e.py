@@ -1,0 +1,70 @@
+"""End-to-end smoke: Trainer on the synthetic dataset (SURVEY.md §7 step 2).
+
+Tiny shapes keep single-CPU compile times tolerable; the full loop still
+exercises HNED edges, the 3-term loss, Adam updates, validation with IoU,
+checkpoint save/restore, and the lax.scan rollout.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_layout_generation_tpu.config import Config
+from video_layout_generation_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("exp"))
+    return Config(
+        dataset="synthetic", synthetic_train_size=8, synthetic_val_size=4,
+        image_size=(32, 32), batch_size=4, epochs=1, edge=False,
+        filters_level=(4, 6, 8), compute_dtype="float32",
+        workers=2, print_freq=1, path=path, mesh_shape=(1,),
+        rollout_frames=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def trainer(tiny_cfg):
+    return Trainer(tiny_cfg)
+
+
+def test_train_epoch_and_validate(trainer):
+    trainer.set_epoch(0)
+    trainer.train()
+    metrics = trainer.validate()
+    assert np.isfinite(metrics["loss"])
+    assert 0.0 <= metrics["miou"] <= 1.0
+    assert 0.0 <= metrics["pixel_acc"] <= 1.0
+    assert metrics["per_class_iou"].shape == (20,)
+    assert trainer.global_step == 2  # 8 samples / batch 4
+
+
+def test_checkpoint_roundtrip(trainer, tiny_cfg):
+    trainer.save_checkpoint()
+    ckpt_path = os.path.join(tiny_cfg.path, "checkpoint", "001")
+    assert os.path.isdir(ckpt_path)
+    t2 = Trainer(tiny_cfg.replace(resume=ckpt_path))
+    assert t2.epoch == trainer.epoch
+    assert t2.global_step == trainer.global_step
+    p1 = jax.tree_util.tree_leaves(trainer.state.params)
+    p2 = jax.tree_util.tree_leaves(t2.state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rollout_shapes(trainer):
+    n, (h, w) = 2, trainer.cfg.image_size
+    img = jnp.zeros((n, h, w, 3))
+    seg = jnp.zeros((n, h, w, 1))
+    imgs, segs = trainer.generate_sequence(img, img, seg, seg, save=False)
+    assert imgs.shape == (n, 2, h, w, 3)
+    assert segs.shape == (n, 2, h, w, 1)
+    # fed-back segs are integral class ids in float
+    s = np.asarray(segs)
+    np.testing.assert_array_equal(s, np.round(s))
+    assert s.min() >= 0 and s.max() < 20

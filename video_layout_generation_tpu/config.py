@@ -1,0 +1,176 @@
+"""Typed configuration for the framework.
+
+The reference threads an argparse namespace god-object through every layer
+(reference src/main.py:86-160). Here the config surface is a frozen dataclass;
+``build_arg_parser``/``config_from_args`` provide a CLI shim with the same
+flag names so existing invocations carry over (reference src/main.py:86-158).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # -- dataset -----------------------------------------------------------
+    dataset: str = "cityscape"          # 'cityscape' | 'synthetic'
+    train_dir: str = "/data/train"
+    val_dir: str = "/data/val"
+    test_dir: str = "/data/test"
+    image_size: Tuple[int, int] = (256, 256)
+    n_classes: int = 20
+    synthetic_train_size: int = 64      # samples when dataset == 'synthetic'
+    synthetic_val_size: int = 16
+
+    # -- mode --------------------------------------------------------------
+    validate: bool = False              # run validation only
+    edge: bool = True                   # include HNED edge channels in input
+    val_interval: int = 1
+
+    # -- model -------------------------------------------------------------
+    arch: str = "CoordGridNet"          # 'GridNet' | 'CoordGridNet' | 'ResnetGenerator'
+    generator: str = "ResnetGenerator"
+    discriminator: str = "NLayerDiscriminator"
+    input_nc: int = 8                   # channels w/o edges; +2 when edge=True
+    output_nc: int = 3
+    ngf: int = 64
+    ndf: int = 64
+    netD: str = "basic"                 # 'basic' | 'n_layers' | 'pixel'
+    netG: str = "resnet_9blocks"        # 'resnet_9blocks' | 'resnet_6blocks' | 'unet_256' | 'unet_128'
+    n_layers_D: int = 3
+    norm: str = "instance"              # 'instance' | 'batch' | 'none'
+    filters_level: Tuple[int, int, int] = (32, 64, 96)  # GridNet row widths
+    init_type: str = "normal"           # 'normal' | 'xavier' | 'kaiming' | 'orthogonal'
+    init_gain: float = 0.02
+    no_dropout: bool = False
+    gan_mode: str = "lsgan"             # 'lsgan' | 'vanilla' | 'wgangp'
+    gan_train: bool = False             # enable adversarial G/D alternating updates
+
+    # -- optimization ------------------------------------------------------
+    batch_size: int = 32                # global batch (split over the mesh)
+    epochs: int = 10
+    optimizer: str = "adam"             # 'adam' | 'adamax' | 'sgd'
+    lr: float = 2e-4
+    beta1: float = 0.5
+    lr_decay_step: int = 5              # epochs between decays (sgd)
+    lr_decay_gamma: float = 0.1
+    start_epoch: int = 1
+
+    # -- loss weights (reference src/trainer.py:248-251) --------------------
+    w_l1: float = 40.0
+    w_style: float = 20.0
+    w_seg: float = 10.0
+
+    # -- precision / performance -------------------------------------------
+    compute_dtype: str = "bfloat16"     # activation dtype inside the nets
+    loss_dtype: str = "float32"         # losses always reduced in fp32
+    remat: bool = False                 # jax.checkpoint the grid columns
+
+    # -- runtime ------------------------------------------------------------
+    workers: int = 4
+    seed: int = 1024
+    print_freq: int = 10
+    disp_interval: int = 10
+    path: Optional[str] = None          # experiment dir
+    ckpt: Optional[str] = None          # warm-start weights
+    resume: Optional[str] = None        # full resume (epoch+model+opt)
+    port: Optional[int] = None          # kept for CLI compat; unused on TPU
+
+    # -- rollout ------------------------------------------------------------
+    img1: Optional[str] = None
+    img2: Optional[str] = None
+    seg1: Optional[str] = None
+    seg2: Optional[str] = None
+    rollout_frames: int = 8
+
+    # -- pretrained weight artifacts ----------------------------------------
+    hed_weights: Optional[str] = None   # converted HNED weights (.npz)
+    vgg_weights: Optional[str] = None   # converted VGG19 weights (.npz)
+
+    # -- parallelism ---------------------------------------------------------
+    mesh_shape: Optional[Sequence[int]] = None   # default: all devices on 'data'
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def model_in_channels(self) -> int:
+        """Channels fed to the predictor: e1(1)+s1(1)+f1(3)+f2(3)+s2(1)+e2(1)
+        (reference src/trainer.py:197) or 8 without edges."""
+        return 10 if self.edge else 8
+
+
+def default_exp_path() -> str:
+    return "../log/exp-{0}".format(
+        datetime.datetime.now().strftime("%m-%d-%H:%M:%S"))
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """Argparse shim with the reference's flag names (src/main.py:86-158)."""
+    p = argparse.ArgumentParser(
+        description="Train a video layout generation network (TPU-native)")
+    p.add_argument("-d", "--dataset", type=str, default="cityscape",
+                   choices=["cityscape", "synthetic"])
+    p.add_argument("--train_dir", type=str, default="/data/train")
+    p.add_argument("--val_dir", type=str, default="/data/val")
+    p.add_argument("--test_dir", type=str, default="/data/test")
+    p.add_argument("--validate", action="store_true")
+    p.add_argument("--edge", action="store_true", default=True)
+    p.add_argument("--no_edge", dest="edge", action="store_false")
+    p.add_argument("--val_interval", type=int, default=1)
+    p.add_argument("-a", "--arch", type=str, default="CoordGridNet",
+                   choices=["GridNet", "CoordGridNet", "ResnetGenerator"])
+    p.add_argument("--discriminator", type=str, default="NLayerDiscriminator")
+    p.add_argument("--generator", type=str, default="ResnetGenerator")
+    p.add_argument("-bs", "--batch_size", type=int, default=32)
+    p.add_argument("-e", "--epochs", type=int, default=10)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--img1", type=str, default=None)
+    p.add_argument("--img2", type=str, default=None)
+    p.add_argument("--seg1", type=str, default=None)
+    p.add_argument("--seg2", type=str, default=None)
+    p.add_argument("-j", "--workers", type=int, default=4)
+    p.add_argument("--port", type=int, default=None)
+    p.add_argument("--seed", type=int, default=1024)
+    p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("-p", "--path", type=str, default=None)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--start_epoch", type=int, default=1)
+    p.add_argument("--disp_interval", type=int, default=10)
+    p.add_argument("--o", dest="optimizer", default="adam",
+                   choices=["adamax", "adam", "sgd"])
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--lr_decay_step", type=int, default=5)
+    p.add_argument("--lr_decay_gamma", type=float, default=0.1)
+    p.add_argument("--input_nc", type=int, default=8)
+    p.add_argument("--output_nc", type=int, default=3)
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--ndf", type=int, default=64)
+    p.add_argument("--netD", type=str, default="basic")
+    p.add_argument("--netG", type=str, default="resnet_9blocks")
+    p.add_argument("--n_layers_D", type=int, default=3)
+    p.add_argument("--norm", type=str, default="instance")
+    p.add_argument("--init_type", type=str, default="normal")
+    p.add_argument("--init_gain", type=float, default=0.02)
+    p.add_argument("--no_dropout", action="store_true")
+    p.add_argument("--gan_mode", type=str, default="lsgan")
+    p.add_argument("--gan_train", action="store_true")
+    p.add_argument("--hed_weights", type=str, default=None)
+    p.add_argument("--vgg_weights", type=str, default=None)
+    p.add_argument("--rollout_frames", type=int, default=8)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--remat", action="store_true")
+    return p
+
+
+def config_from_args(argv=None) -> Config:
+    args = build_arg_parser().parse_args(argv)
+    names = {f.name for f in dataclasses.fields(Config)}
+    kw = {k: v for k, v in vars(args).items() if k in names}
+    return Config(**kw)

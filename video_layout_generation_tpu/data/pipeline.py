@@ -1,0 +1,124 @@
+"""Host-side input pipeline feeding sharded device arrays.
+
+Replaces the reference's DataLoader + DistributedSampler stack
+(src/trainer.py:145-152): a thread pool decodes samples ahead of time
+(the reference's ``num_workers`` CPU workers), batches them into contiguous
+NHWC host arrays, and a double-buffered prefetcher overlaps ``device_put``
+(with a 'data'-axis NamedSharding) with the previous step's compute — the
+TPU equivalent of pinned-memory H2D overlap.
+
+Sharding-by-process + per-epoch reshuffle keyed on (seed, epoch) replaces
+``DistributedSampler.set_epoch`` (src/trainer.py:161-162).
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import batch_sharding
+
+
+class HostLoader:
+    """Deterministic shuffling, batching, parallel-decode iterator."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, workers: int = 4, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.workers = max(1, workers)
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        n = len(self.ds)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed << 16) ^ self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        # shard by process (DistributedSampler equivalent): contiguous after
+        # permutation, padded so every process sees the same count
+        per = -(-n // self.process_count)
+        pad = per * self.process_count - n
+        if pad:
+            order = np.concatenate([order, order[:pad]])
+        return order[self.process_index::self.process_count]
+
+    def __len__(self) -> int:
+        per = -(-len(self.ds) // self.process_count)
+        if self.drop_last:
+            return per // self.batch_size
+        return -(-per // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        if self.drop_last:
+            order = order[: len(self) * self.batch_size]
+        with cf.ThreadPoolExecutor(self.workers) as pool:
+            # keep a bounded window of decode futures in flight
+            max_inflight = max(2 * self.workers, self.batch_size)
+            window: collections.deque = collections.deque()
+            idx_iter = iter(order)
+            exhausted = False
+            batch_buf = []
+            while True:
+                while not exhausted and len(window) < max_inflight:
+                    try:
+                        i = next(idx_iter)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    window.append(pool.submit(self.ds.__getitem__, int(i)))
+                if not window:
+                    break
+                batch_buf.append(window.popleft().result())
+                if len(batch_buf) == self.batch_size:
+                    yield {k: np.stack([s[k] for s in batch_buf])
+                           for k in batch_buf[0]}
+                    batch_buf = []
+            if batch_buf and not self.drop_last:
+                yield {k: np.stack([s[k] for s in batch_buf])
+                       for k in batch_buf[0]}
+
+
+class ShardedLoader:
+    """Wraps a HostLoader: device_put with batch sharding + 1-deep prefetch."""
+
+    def __init__(self, loader: HostLoader, mesh, axis: str = "data"):
+        self.loader = loader
+        self.mesh = mesh
+        self.axis = axis
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        sh = batch_sharding(self.mesh, self.axis)
+        put = lambda b: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), b)
+        it = iter(self.loader)
+        try:
+            nxt = put(next(it))
+        except StopIteration:
+            return
+        for host_batch in it:
+            cur, nxt = nxt, put(host_batch)  # overlap H2D with consumer
+            yield cur
+        yield nxt

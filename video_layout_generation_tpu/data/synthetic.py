@@ -1,0 +1,81 @@
+"""Hermetic synthetic triplet dataset.
+
+The reference has no tests and requires a real Cityscapes tree; the rebuild
+trains/validates/rolls out hermetically on synthetic "moving layout" video:
+each sample is a scene of moving rectangles with constant velocity. Frames
+are sampled at t, t+stride, t+2*stride, so frame 3 is exactly linearly
+predictable from frames 1-2 — a learnable task with the same data contract
+as the Cityscapes loader (SURVEY.md §4, §7 step 1).
+
+Contract per sample (NHWC host arrays):
+  img1, img2, img3 : (H, W, 3) float32 in [0, 1]
+  seg1, seg2       : (H, W, 1) float32 class ids (model input channels)
+  seg3             : (H, W)    int32 class-id target
+matching the reference 6-tuple (src/folder.py:104).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..ops.colorize import CITYSCAPES_COLORS
+
+
+class SyntheticTriplets:
+    def __init__(self, size: int = 64, image_hw: Tuple[int, int] = (256, 256),
+                 n_classes: int = 20, n_shapes: int = 6, stride: int = 3,
+                 seed: int = 0):
+        self.size = size
+        self.hw = image_hw
+        self.n_classes = n_classes
+        self.n_shapes = n_shapes
+        self.stride = stride
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.size
+
+    def _scene(self, index: int):
+        rng = np.random.default_rng((self.seed << 20) + index)
+        h, w = self.hw
+        shapes = []
+        for _ in range(self.n_shapes):
+            cls = int(rng.integers(1, self.n_classes))
+            cy, cx = rng.uniform(0.15, 0.85, 2)
+            hh = rng.uniform(0.05, 0.25)
+            ww = rng.uniform(0.05, 0.25)
+            vy, vx = rng.uniform(-0.01, 0.01, 2)
+            shapes.append((cls, cy, cx, hh, ww, vy, vx))
+        return shapes
+
+    def _render(self, shapes, t: int):
+        h, w = self.hw
+        seg = np.zeros((h, w), np.int32)  # class 0 background
+        for cls, cy, cx, hh, ww, vy, vx in shapes:
+            y = cy + vy * t
+            x = cx + vx * t
+            y0, y1 = int((y - hh / 2) * h), int((y + hh / 2) * h)
+            x0, x1 = int((x - ww / 2) * w), int((x + ww / 2) * w)
+            y0, y1 = np.clip([y0, y1], 0, h)
+            x0, x1 = np.clip([x0, x1], 0, w)
+            seg[y0:y1, x0:x1] = cls
+        img = CITYSCAPES_COLORS[seg % len(CITYSCAPES_COLORS)].astype(
+            np.float32) / 255.0
+        # mild deterministic shading so the RGB task is not a pure LUT
+        yy = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
+        img = np.clip(img * (0.7 + 0.3 * yy), 0.0, 1.0)
+        return img, seg
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        shapes = self._scene(index)
+        out: Dict[str, np.ndarray] = {}
+        for k, t in ((1, 0), (2, self.stride), (3, 2 * self.stride)):
+            img, seg = self._render(shapes, t)
+            out[f"img{k}"] = img
+            if k < 3:
+                out[f"seg{k}"] = seg[..., None].astype(np.float32)
+            else:
+                out["seg3"] = seg
+        return out

@@ -1,0 +1,44 @@
+"""Cross-entropy losses over segmentation logits (NHWC, fp32 islands).
+
+- ``cross_entropy_loss``: mean CE over all pixels (torch nn.CrossEntropyLoss
+  parity; reference src/trainer.py:124,250).
+- ``weighted_masked_ce``: per-class-weighted CE summed over pixels and
+  normalized by the *unmasked* element count — the legacy completion loss
+  (reference src/models/simple.py:56-59). Note torch's weighted 'sum'
+  reduction multiplies each pixel's CE by its target-class weight.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """logits (N,H,W,C) fp-any; labels (N,H,W) int. Mean over all pixels."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(
+        logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return -jnp.mean(picked)
+
+
+def weighted_masked_ce(logits: jnp.ndarray, labels: jnp.ndarray,
+                       mask: jnp.ndarray,
+                       class_weights: Sequence[float]) -> jnp.ndarray:
+    """Sum of class-weighted CE over all pixels / count of unmasked pixels.
+
+    mask==1 marks the cropped/masked region (reference semantics: loss
+    normalized by ``(1-mask).nonzero().size(0)``).
+    """
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    labels = labels.astype(jnp.int32)
+    picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = jnp.asarray(class_weights, jnp.float32)[labels]
+    total = jnp.sum(-picked * w)
+    denom = jnp.maximum(jnp.sum(1.0 - mask.astype(jnp.float32)), 1.0)
+    return total / denom

@@ -1,0 +1,40 @@
+"""SSIM-based structural loss.
+
+Parity with the reference SsimLoss (src/loss.py:64-91): per channel, 3x3
+stride-1 VALID average-pool window statistics, SSIM map, ``(1-SSIM)/2``
+clamped to [0,1], mean over the map — then *summed* over channels (the
+reference loops ``x[:, ii, ...]`` and accumulates).
+
+TPU note: the six window means are one fused reduce_window pass over a
+stacked tensor; everything stays in fp32 regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.pooling import avg_pool_3x3_valid
+
+_C1 = 0.01 ** 2
+_C2 = 0.03 ** 2
+
+
+def ssim_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """x, y: (N, H, W, C). Returns scalar = sum over C of mean (1-SSIM)/2."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    # Stack the 6 window statistics along channels -> one reduce_window pass.
+    stats = jnp.concatenate([x, y, x * x, y * y, x * y], axis=-1)
+    pooled = avg_pool_3x3_valid(stats)
+    c = x.shape[-1]
+    mu_x, mu_y, xx, yy, xy = (pooled[..., i * c:(i + 1) * c]
+                              for i in range(5))
+    sigma_x = xx - mu_x * mu_x
+    sigma_y = yy - mu_y * mu_y
+    sigma_xy = xy - mu_x * mu_y
+    num = (2 * mu_x * mu_y + _C1) * (2 * sigma_xy + _C2)
+    den = (mu_x * mu_x + mu_y * mu_y + _C1) * (sigma_x + sigma_y + _C2)
+    ssim_map = num / den
+    per_channel = jnp.mean(jnp.clip((1.0 - ssim_map) / 2.0, 0.0, 1.0),
+                           axis=(0, 1, 2))
+    return jnp.sum(per_channel)

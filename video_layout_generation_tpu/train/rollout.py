@@ -1,0 +1,65 @@
+"""Autoregressive rollout as ``lax.scan`` — the north-star inference path.
+
+Capability parity with the reference ``generate_sequence``
+(src/trainer.py:453-476): starting from two seed frames + layouts, slide a
+window of the last two (frame, layout) pairs, predict the next pair, feed it
+back; produce ``n_frames`` future frames. The reference loops in Python with
+a per-step host sync; here the whole rollout is ONE compiled scan — no host
+round-trips, fully fused, batched over N.
+
+Input-contract note (SURVEY.md §2c#5, §3.3): the reference's rollout feeds an
+8-channel input to a 10-channel-trained model (a latent bug). We support
+both contracts: ``use_edges=True`` recomputes HNED edges on the fed-back
+frames inside the scan (matching the training distribution — documented
+intent); ``use_edges=False`` reproduces the literal 8-channel layout.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .assemble import (assemble_model_input, denormalize_image,
+                       normalize_model_output)
+
+
+def make_rollout_fn(model_apply: Callable,
+                    hned_apply: Optional[Callable] = None,
+                    n_frames: int = 8, use_edges: bool = True,
+                    jit: bool = True):
+    """Build ``rollout(params, hned_params, img1, img2, seg1, seg2)``.
+
+    Args (to the built fn):
+      img1/img2: (N,H,W,3) ImageNet-normalized seed frames (older first).
+      seg1/seg2: (N,H,W,1) float class-id layouts.
+    Returns:
+      imgs: (N, n_frames, H, W, 3) normalized generated frames,
+      segs: (N, n_frames, H, W, 1) float class-id layouts.
+    """
+    if use_edges and hned_apply is None:
+        raise ValueError("use_edges=True requires hned_apply")
+
+    def rollout(params, hned_params, img1, img2, seg1, seg2):
+        def step(carry, _):
+            f_old, f_new, s_old, s_new = carry
+            if use_edges:
+                e_old = hned_apply(hned_params, denormalize_image(f_old))[-1]
+                e_new = hned_apply(hned_params, denormalize_image(f_new))[-1]
+            else:
+                e_old = e_new = None
+            x = assemble_model_input(s_old, f_old, f_new, s_new,
+                                     e_old, e_new)
+            seg_logits, img = model_apply(params, x)
+            img_n = normalize_model_output(img)
+            seg_next = jnp.argmax(seg_logits, axis=-1)[..., None].astype(
+                jnp.float32)
+            return (f_new, img_n, s_new, seg_next), (img_n, seg_next)
+
+        carry0 = (img1, img2, seg1, seg2)
+        _, (imgs, segs) = jax.lax.scan(step, carry0, None, length=n_frames)
+        # (T, N, ...) -> (N, T, ...)
+        return (jnp.moveaxis(imgs, 0, 1), jnp.moveaxis(segs, 0, 1))
+
+    return jax.jit(rollout) if jit else rollout

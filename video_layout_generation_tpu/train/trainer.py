@@ -1,0 +1,296 @@
+"""Training orchestration.
+
+Capability parity with the reference Trainer (src/trainer.py:103-476):
+builds the predictor + frozen HNED + losses, data loaders, runs the epoch
+loop (train -> validate -> checkpoint), logs scalars/images, dumps .npy
+prediction stacks, and drives the autoregressive rollout. Implemented as a
+thin host loop around fully-jitted steps; all cross-device behavior lives
+inside the compiled programs (SURVEY.md §2b).
+
+Differences from the reference (documented intent, not its defects §2c):
+- one checkpoint schema (save and load agree),
+- per-class IoU + pixel accuracy computed during validation (north-star
+  metric; the reference only had loss),
+- loss scalars come back from the step already reduced; no per-step
+  blocking allreduce.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.pipeline import HostLoader, ShardedLoader
+from ..data.synthetic import SyntheticTriplets
+from ..evaluation.export import save_npy_stack
+from ..evaluation.metrics import (confusion_matrix, iou_from_confusion,
+                                  pixel_accuracy)
+from ..io.checkpoint import CheckpointManager
+from ..io.logging import get_logger
+from ..io.tb import SummaryWriter
+from ..losses.combined import CombinedLoss
+from ..models import HNED, get_model_cls
+from ..ops.colorize import colorize_seg
+from ..parallel.mesh import is_primary, make_mesh
+from ..utils.meters import AverageMeter, StepTimer
+from .assemble import denormalize_image, normalize_image
+from .rollout import make_rollout_fn
+from .state import TrainState, current_lr, epoch_decayed_lr, make_optimizer, set_lr
+from .steps import make_eval_step, make_train_step
+
+
+def _build_model(cfg: Config):
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    cls = get_model_cls(cfg.arch)
+    kw = dict(n_channels=cfg.model_in_channels, dtype=dtype, remat=cfg.remat,
+              filters_level=tuple(cfg.filters_level))
+    if cfg.arch == "ResnetGenerator":
+        kw = dict(input_nc=cfg.model_in_channels, ngf=cfg.ngf,
+                  norm=cfg.norm, use_dropout=not cfg.no_dropout,
+                  init_type=cfg.init_type, init_gain=cfg.init_gain,
+                  dtype=dtype)
+    return cls(**kw)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dataset_train=None, dataset_val=None):
+        self.cfg = cfg
+        self.logger = get_logger(
+            os.path.join(cfg.path, "experiment.log") if cfg.path else None,
+            process=jax.process_index())
+        self.logger.info("Initializing trainer")
+
+        self.mesh = make_mesh(shape=cfg.mesh_shape)
+        self.n_devices = self.mesh.devices.size
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+        # --- models ------------------------------------------------------
+        self.model = _build_model(cfg)
+        rng = jax.random.key(cfg.seed)
+        h, w = cfg.image_size
+        sample_x = jnp.zeros((1, h, w, cfg.model_in_channels), jnp.float32)
+        self.params = jax.jit(self.model.init)(rng, sample_x)
+
+        self.hned = HNED(dtype=dtype) if cfg.edge else None
+        if self.hned is not None:
+            if cfg.hed_weights:
+                from ..io.weights import load_hned_params
+                self.hned_params = load_hned_params(cfg.hed_weights)
+            else:
+                self.hned_params = jax.jit(self.hned.init)(
+                    jax.random.key(0), jnp.zeros((1, h, w, 3), jnp.float32))
+        else:
+            self.hned_params = None
+
+        # --- losses ------------------------------------------------------
+        self.combined = CombinedLoss.create(cfg.vgg_weights, dtype,
+                                            image_hw=cfg.image_size)
+
+        # --- optimizer / state ------------------------------------------
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.beta1)
+        self.state = TrainState.create(self.params, tx)
+        self.epoch = 0
+        self.global_step = 0
+
+        # --- checkpointing ----------------------------------------------
+        ckpt_dir = os.path.join(cfg.path, "checkpoint") if cfg.path else None
+        self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+        if cfg.ckpt:  # warm-start weights only
+            self.logger.info("Loading from ckpt %s" % cfg.ckpt)
+            tree = CheckpointManager.restore_path(cfg.ckpt)
+            self.state = self.state.replace(params=tree["params"])
+        if cfg.resume:
+            self.load_checkpoint(cfg.resume)
+
+        # --- steps -------------------------------------------------------
+        model_apply = self.model.apply
+        hned_apply = self.hned.apply if self.hned is not None else None
+        self._train_step = make_train_step(
+            model_apply, hned_apply, self.combined,
+            cfg.w_l1, cfg.w_style, cfg.w_seg)
+        self._eval_step = make_eval_step(
+            model_apply, hned_apply, self.combined,
+            cfg.w_l1, cfg.w_style, cfg.w_seg)
+        self._rollout = make_rollout_fn(model_apply, hned_apply,
+                                        n_frames=cfg.rollout_frames,
+                                        use_edges=cfg.edge)
+
+        # --- data --------------------------------------------------------
+        if dataset_train is None:
+            dataset_train, dataset_val = self._default_datasets()
+        self.train_loader = self._wrap_loader(dataset_train, shuffle=True)
+        self.val_loader = self._wrap_loader(dataset_val, shuffle=False)
+
+        # --- observability ----------------------------------------------
+        tb_dir = cfg.path if (cfg.path and is_primary()) else None
+        self.writer = SummaryWriter(tb_dir, enabled=tb_dir is not None)
+        self.predict_dir = (os.path.join(cfg.path, "predict")
+                            if cfg.path else None)
+        self.logger.debug("Finish init trainer (devices=%d, params=%d)" % (
+            self.n_devices,
+            sum(x.size for x in jax.tree_util.tree_leaves(self.params))))
+
+    # ------------------------------------------------------------------
+    def _default_datasets(self):
+        cfg = self.cfg
+        if cfg.dataset == "synthetic":
+            return (SyntheticTriplets(cfg.synthetic_train_size,
+                                      cfg.image_size, cfg.n_classes,
+                                      seed=cfg.seed),
+                    SyntheticTriplets(cfg.synthetic_val_size, cfg.image_size,
+                                      cfg.n_classes, seed=cfg.seed + 1))
+        from ..data.cityscapes import CityscapesTriplets
+        return (CityscapesTriplets(cfg.train_dir, cfg.image_size),
+                CityscapesTriplets(cfg.val_dir, cfg.image_size))
+
+    def _wrap_loader(self, dataset, shuffle: bool):
+        host = HostLoader(dataset, self.cfg.batch_size, shuffle=shuffle,
+                          seed=self.cfg.seed, workers=self.cfg.workers,
+                          process_index=jax.process_index(),
+                          process_count=jax.process_count())
+        return ShardedLoader(host, self.mesh)
+
+    # ------------------------------------------------------------------
+    def set_epoch(self, epoch: int):
+        self.logger.info("Start of epoch %d" % (epoch + 1))
+        self.epoch = epoch + 1
+        self.train_loader.set_epoch(epoch)
+        self.val_loader.set_epoch(epoch)
+        if self.cfg.optimizer == "sgd":
+            lr = epoch_decayed_lr(self.cfg.lr, epoch,
+                                  self.cfg.lr_decay_step,
+                                  self.cfg.lr_decay_gamma)
+            self.state = set_lr(self.state, lr)
+            if is_primary():
+                self.writer.add_scalar("other/lr-epoch",
+                                       current_lr(self.state), self.epoch)
+
+    def train(self):
+        self.logger.info("Training started")
+        cfg = self.cfg
+        timer = StepTimer()
+        n_batches = len(self.train_loader)
+        for i, batch in enumerate(self.train_loader):
+            timer.mark_loaded()
+            self.global_step += 1
+            rng = jax.random.fold_in(jax.random.key(cfg.seed),
+                                     self.global_step)
+            self.state, metrics = self._train_step(
+                self.state, self.hned_params, batch, rng)
+            if is_primary() and i % cfg.print_freq == 0:
+                # host sync only on logged steps
+                loss = float(metrics["loss"])
+                timer.mark_computed()
+                self.logger.info(
+                    "Epoch [%d/%d][%d/%d] load [%.3fs] comp [%.3fs] "
+                    "loss [%.4f]" % (self.epoch, cfg.epochs, i + 1,
+                                     n_batches, timer.load_time,
+                                     timer.comp_time, loss))
+                self.writer.add_scalar("train/loss", loss, self.global_step)
+                for k in ("loss_l1", "loss_style", "loss_seg"):
+                    self.writer.add_scalar(f"train/{k}", float(metrics[k]),
+                                           self.global_step)
+            else:
+                timer.mark_computed()
+
+    def validate(self) -> Dict[str, float]:
+        self.logger.info("Validation started")
+        cfg = self.cfg
+        meter = AverageMeter()
+        cm_total = None
+        for i, batch in enumerate(self.val_loader):
+            metrics, seg_ids, img_n = self._eval_step(
+                self.state.params, self.hned_params, batch)
+            bs = batch["img1"].shape[0]
+            meter.update(float(metrics["loss"]), bs)
+            cm = confusion_matrix(seg_ids, batch["seg3"], cfg.n_classes)
+            cm_total = cm if cm_total is None else cm_total + cm
+            if (is_primary() and self.predict_dir and i % 100 == 0):
+                save_npy_stack(self.predict_dir,
+                               f"val_{time.time():.0f}_{i:06d}",
+                               {"stack": np.concatenate([
+                                   np.asarray(batch["img1"]),
+                                   np.asarray(batch["img2"]),
+                                   np.asarray(denormalize_image(img_n)),
+                                   np.asarray(colorize_seg(seg_ids)),
+                               ], axis=-1)})
+        iou, miou = iou_from_confusion(np.asarray(cm_total))
+        acc = pixel_accuracy(np.asarray(cm_total))
+        if is_primary():
+            self.logger.info(
+                "Epoch [%d/%d] loss [%.4f] mIoU [%.4f] pixAcc [%.4f]" % (
+                    self.epoch, cfg.epochs, meter.avg, miou, acc))
+            self.writer.add_scalar("val/loss", meter.avg, self.epoch)
+            self.writer.add_scalar("val/miou", miou, self.epoch)
+            self.writer.add_scalar("val/pixel_acc", acc, self.epoch)
+        return {"loss": meter.avg, "miou": miou, "pixel_acc": acc,
+                "per_class_iou": iou}
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, metrics: Optional[Dict] = None):
+        if self.ckpt is None or not is_primary():
+            return
+        self.logger.info("Saving checkpoint..")
+        self.ckpt.save(self.epoch, self.state.params, self.state.opt_state,
+                       self.global_step, self.cfg.arch)
+
+    def load_checkpoint(self, resume: str):
+        self.logger.info("Resuming checkpoint %s" % resume)
+        tree = CheckpointManager.restore_path(resume, arch=self.cfg.arch)
+        self.epoch = int(tree["epoch"])
+        self.global_step = int(tree.get("step", 0))
+        self.state = self.state.replace(params=tree["params"],
+                                        opt_state=tree["opt_state"])
+        self.logger.info("Checkpoint loaded")
+
+    # ------------------------------------------------------------------
+    def generate_sequence(self, img1, img2, seg1, seg2,
+                          save: bool = True):
+        """Rollout from normalized (N,H,W,3) frames + (N,H,W,1) layouts."""
+        imgs, segs = self._rollout(self.state.params, self.hned_params,
+                                   img1, img2, seg1, seg2)
+        if save and is_primary() and self.predict_dir:
+            full_imgs = np.concatenate(
+                [np.asarray(img1)[:, None], np.asarray(img2)[:, None],
+                 np.asarray(imgs)], axis=1)
+            full_segs = np.concatenate(
+                [np.asarray(seg1)[:, None], np.asarray(seg2)[:, None],
+                 np.asarray(segs)], axis=1)
+            save_npy_stack(self.predict_dir, f"val_{time.time():.0f}",
+                           {"img": full_imgs, "seg": full_segs})
+        return imgs, segs
+
+    def eval_generate_sequence(self, img1_path: str, img2_path: str,
+                               seg1_path: str, seg2_path: str):
+        """CLI rollout from image paths (reference src/trainer.py:429-450)."""
+        from ..data.cityscapes import _load_rgb, _load_seg
+        hw = self.cfg.image_size
+        try:
+            i1 = _load_rgb(img1_path, hw)
+            i2 = _load_rgb(img2_path, hw)
+            s1 = _load_seg(seg1_path, hw)
+            s2 = _load_seg(seg2_path, hw)
+        except FileNotFoundError:
+            self.logger.debug("path name not exists")
+            return None
+        img1 = normalize_image(jnp.asarray(i1))[None]
+        img2 = normalize_image(jnp.asarray(i2))[None]
+        seg1 = jnp.asarray(s1, jnp.float32)[None, ..., None]
+        seg2 = jnp.asarray(s2, jnp.float32)[None, ..., None]
+        return self.generate_sequence(img1, img2, seg1, seg2)
+
+    # ------------------------------------------------------------------
+    def fit(self):
+        """Full training run (reference worker loop, src/main.py:76-82)."""
+        for epoch in range(self.cfg.epochs):
+            self.set_epoch(epoch)
+            self.train()
+            metrics = self.validate()
+            self.save_checkpoint(metrics)
+        return metrics
