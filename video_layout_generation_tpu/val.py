@@ -1,0 +1,153 @@
+"""Standalone layout-completion evaluation CLI.
+
+Capability parity with the legacy ``val.py`` (src/val.py): load a masked
+layout-completion model (u_net | encoder_decoder), run a batched eval loop,
+argmax the predicted layouts, colorize via the palette LUT, save per-image
+PNGs, and print per-image eval/draw/save timing. The reference's version
+imports modules missing from its repo (src/val.py:16-21) and therefore
+cannot run; this one is self-contained:
+
+- input data comes from an ``--data`` .npz with arrays ``imgs (N,H,W,3)``,
+  ``segs (N,H,W)``, ``masks (N,H,W)`` (the legacy array contract documented
+  at reference src/data.py:14-27), or from a synthetic masked-layout set
+  when omitted;
+- per-class IoU + pixel accuracy are computed over the run (the north-star
+  metric BASELINE.json adds over the reference).
+
+Usage:
+  python -m video_layout_generation_tpu.val --model u_net --bs 4 \
+      [--data arrays.npz] [--ckpt <orbax dir>] [--save_dir results]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Evaluate a segmentation completion network")
+    p.add_argument("--dataset", choices=["cityscape", "synthetic"],
+                   default="synthetic")
+    p.add_argument("--model", choices=["u_net", "encoder_decoder"],
+                   default="u_net")
+    p.add_argument("--data", type=str, default=None,
+                   help="npz with imgs/segs/masks arrays")
+    p.add_argument("--load_dir", type=str, default="models")
+    p.add_argument("--save_dir", type=str, default="results")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="orbax checkpoint dir with completion-model params")
+    p.add_argument("--nw", dest="num_workers", type=int, default=0)
+    p.add_argument("--bs", dest="batch_size", type=int, default=1)
+    p.add_argument("--n_classes", type=int, default=29)
+    p.add_argument("--size", type=int, default=256,
+                   help="synthetic eval resolution")
+    p.add_argument("--n_samples", type=int, default=8,
+                   help="synthetic sample count")
+    p.add_argument("--embedding_dim", type=int, default=15)
+    return p.parse_args(argv)
+
+
+def _synthetic_arrays(n, hw, n_classes, seed=0):
+    rng = np.random.default_rng(seed)
+    segs = np.zeros((n, hw, hw), np.int32)
+    for i in range(n):
+        for _ in range(5):
+            c = int(rng.integers(0, n_classes))
+            y0, x0 = rng.integers(0, hw - 8, 2)
+            h, w = rng.integers(8, hw // 2, 2)
+            segs[i, y0:y0 + h, x0:x0 + w] = c
+    imgs = rng.random((n, hw, hw, 3)).astype(np.float32)
+    masks = np.zeros((n, hw, hw), np.float32)
+    for i in range(n):
+        y0, x0 = rng.integers(hw // 4, hw // 2, 2)
+        masks[i, y0:y0 + hw // 4, x0:x0 + hw // 4] = 1.0
+    return imgs, segs, masks
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    print("Called with args:")
+    print(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .evaluation.export import save_colorized_png
+    from .evaluation.metrics import (confusion_matrix, iou_from_confusion,
+                                     pixel_accuracy)
+    from .models.legacy import Simple
+
+    if args.data:
+        raw = np.load(args.data)
+        imgs, segs, masks = (np.asarray(raw["imgs"], np.float32),
+                             np.asarray(raw["segs"], np.int32),
+                             np.asarray(raw["masks"], np.float32))
+    else:
+        imgs, segs, masks = _synthetic_arrays(args.n_samples, args.size,
+                                              args.n_classes)
+    n = imgs.shape[0]
+    if n % args.batch_size != 0:
+        raise SystemExit(
+            f"batch size must divide val size ({n})")
+
+    model = Simple(args.n_classes, args.embedding_dim, args.model)
+    b0 = (jnp.asarray(masks[:args.batch_size]),
+          jnp.asarray(segs[:args.batch_size]),
+          jnp.asarray(imgs[:args.batch_size]))
+    params = jax.jit(model.init)(jax.random.key(0), *b0)
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+        params = {"params": ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(args.ckpt))["params"]}
+
+    apply_fn = jax.jit(lambda p, m, s, i: jnp.argmax(
+        model.apply(p, m, s, i), axis=-1))
+
+    save_folder = os.path.join(args.save_dir,
+                               f"{args.model}_eval_{args.size}")
+    os.makedirs(save_folder, exist_ok=True)
+
+    print("evaluation start")
+    sys.stdout.flush()
+    cm_total = None
+    img_count = 0
+    for step in range(n // args.batch_size):
+        sl = slice(step * args.batch_size, (step + 1) * args.batch_size)
+        tic = time.time()
+        pred = apply_fn(params, jnp.asarray(masks[sl]),
+                        jnp.asarray(segs[sl]), jnp.asarray(imgs[sl]))
+        pred_np = np.asarray(pred)
+        eval_time = time.time() - tic
+
+        tic = time.time()
+        cm = confusion_matrix(pred, jnp.asarray(segs[sl]), args.n_classes)
+        cm_total = cm if cm_total is None else cm_total + cm
+        draw_time = time.time() - tic
+
+        tic = time.time()
+        for i in range(args.batch_size):
+            save_colorized_png(
+                os.path.join(save_folder, f"{img_count}.png"), pred_np[i])
+            img_count += 1
+        save_time = time.time() - tic
+        sys.stdout.write(
+            "\rsaving image {}/{} \ttime cost: {:.2f}\teval cost: {:.2f}"
+            .format(img_count, n, eval_time + draw_time + save_time,
+                    eval_time))
+        sys.stdout.flush()
+
+    iou, miou = iou_from_confusion(np.asarray(cm_total))
+    acc = pixel_accuracy(np.asarray(cm_total))
+    print("\nper-class IoU:",
+          " ".join("%.3f" % v if np.isfinite(v) else "nan" for v in iou))
+    print(f"mIoU: {miou:.4f}  pixel-acc: {acc:.4f}")
+
+
+if __name__ == "__main__":
+    main()
