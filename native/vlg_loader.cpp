@@ -1,0 +1,326 @@
+// vlg_loader: native data-loading core for video_layout_generation_tpu.
+//
+// The reference leaned on OpenCV's C++ for PNG decode + resize in its
+// DataLoader workers (reference src/folder.py:122-135); this is the
+// framework-owned native equivalent: a minimal zlib-backed PNG decoder
+// (8-bit gray / RGB / RGBA / palette, non-interlaced — the Cityscapes
+// artifact formats), nearest and bilinear resize, and a persistent thread
+// pool for batch decode. Exposed as a C ABI consumed via ctypes
+// (video_layout_generation_tpu/io/native_loader.py).
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC vlg_loader.cpp -lz)
+
+#include <zlib.h>
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- PNG ----
+
+struct Image {
+  int w = 0, h = 0, channels = 0;
+  std::vector<uint8_t> pixels;  // row-major, interleaved
+};
+
+inline uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+inline int paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - c);
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+bool inflate_all(const std::vector<uint8_t>& in, std::vector<uint8_t>& out) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return false;
+  zs.next_in = const_cast<Bytef*>(in.data());
+  zs.avail_in = static_cast<uInt>(in.size());
+  zs.next_out = out.data();
+  zs.avail_out = static_cast<uInt>(out.size());
+  int ret = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return ret == Z_STREAM_END || (ret == Z_OK && zs.avail_out == 0);
+}
+
+// Decode an 8-bit non-interlaced PNG. Returns false on any parse error.
+bool decode_png(const char* path, Image& img) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (size < 57) { std::fclose(f); return false; }
+  std::vector<uint8_t> buf(static_cast<size_t>(size));
+  if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+    std::fclose(f);
+    return false;
+  }
+  std::fclose(f);
+
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (std::memcmp(buf.data(), sig, 8) != 0) return false;
+
+  size_t pos = 8;
+  int bit_depth = 0, color_type = 0, interlace = 0;
+  std::vector<uint8_t> idat;
+  std::vector<uint8_t> palette;  // RGB triples
+  while (pos + 8 <= buf.size()) {
+    uint32_t len = be32(&buf[pos]);
+    const uint8_t* type = &buf[pos + 4];
+    const uint8_t* data = &buf[pos + 8];
+    if (pos + 12 + len > buf.size()) return false;
+    if (!std::memcmp(type, "IHDR", 4)) {
+      img.w = static_cast<int>(be32(data));
+      img.h = static_cast<int>(be32(data + 4));
+      bit_depth = data[8];
+      color_type = data[9];
+      interlace = data[12];
+      if (bit_depth != 8 || interlace != 0) return false;
+    } else if (!std::memcmp(type, "PLTE", 4)) {
+      palette.assign(data, data + len);
+    } else if (!std::memcmp(type, "IDAT", 4)) {
+      idat.insert(idat.end(), data, data + len);
+    } else if (!std::memcmp(type, "IEND", 4)) {
+      break;
+    }
+    pos += 12 + len;
+  }
+  if (img.w <= 0 || img.h <= 0 || idat.empty()) return false;
+
+  int ch;
+  switch (color_type) {
+    case 0: ch = 1; break;  // gray
+    case 2: ch = 3; break;  // rgb
+    case 3: ch = 1; break;  // palette index
+    case 4: ch = 2; break;  // gray+alpha
+    case 6: ch = 4; break;  // rgba
+    default: return false;
+  }
+  const size_t stride = static_cast<size_t>(img.w) * ch;
+  std::vector<uint8_t> raw((stride + 1) * img.h);
+  if (!inflate_all(idat, raw)) return false;
+
+  // unfilter into pixels
+  std::vector<uint8_t> out(stride * img.h);
+  const int bpp = ch;
+  for (int y = 0; y < img.h; ++y) {
+    const uint8_t* src = &raw[(stride + 1) * y];
+    uint8_t filter = src[0];
+    ++src;
+    uint8_t* dst = &out[stride * y];
+    const uint8_t* up = y ? &out[stride * (y - 1)] : nullptr;
+    for (size_t x = 0; x < stride; ++x) {
+      int a = x >= static_cast<size_t>(bpp) ? dst[x - bpp] : 0;
+      int b = up ? up[x] : 0;
+      int c = (up && x >= static_cast<size_t>(bpp)) ? up[x - bpp] : 0;
+      int v = src[x];
+      switch (filter) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += b; break;
+        case 3: v += (a + b) / 2; break;
+        case 4: v += paeth(a, b, c); break;
+        default: return false;
+      }
+      dst[x] = static_cast<uint8_t>(v);
+    }
+  }
+
+  if (color_type == 3) {  // palette -> RGB
+    if (palette.empty()) return false;
+    std::vector<uint8_t> rgb(static_cast<size_t>(img.w) * img.h * 3);
+    for (size_t i = 0; i < out.size(); ++i) {
+      const uint8_t* p = &palette[3 * out[i]];
+      rgb[3 * i] = p[0];
+      rgb[3 * i + 1] = p[1];
+      rgb[3 * i + 2] = p[2];
+    }
+    img.channels = 3;
+    img.pixels = std::move(rgb);
+  } else {
+    img.channels = ch;
+    img.pixels = std::move(out);
+  }
+  return true;
+}
+
+// ------------------------------------------------------------- resize ----
+
+// Floor-nearest (cv2 INTER_NEAREST semantics) on the first channel only,
+// emitting int32 class ids.
+void resize_nearest_ids(const Image& img, int32_t* out, int oh, int ow) {
+  const double sy = static_cast<double>(img.h) / oh;
+  const double sx = static_cast<double>(img.w) / ow;
+  for (int y = 0; y < oh; ++y) {
+    int src_y = std::min(static_cast<int>(y * sy), img.h - 1);
+    const uint8_t* row =
+        &img.pixels[static_cast<size_t>(src_y) * img.w * img.channels];
+    for (int x = 0; x < ow; ++x) {
+      int src_x = std::min(static_cast<int>(x * sx), img.w - 1);
+      out[static_cast<size_t>(y) * ow + x] =
+          static_cast<int32_t>(row[src_x * img.channels]);
+    }
+  }
+}
+
+// Half-pixel bilinear (cv2 INTER_LINEAR semantics) to float [0,1] RGB HWC.
+void resize_bilinear_rgb(const Image& img, float* out, int oh, int ow) {
+  const int ch = img.channels;
+  const double sy = static_cast<double>(img.h) / oh;
+  const double sx = static_cast<double>(img.w) / ow;
+  const float inv255 = 1.0f / 255.0f;
+  for (int y = 0; y < oh; ++y) {
+    double fy = (y + 0.5) * sy - 0.5;
+    if (fy < 0) fy = 0;
+    if (fy > img.h - 1) fy = img.h - 1;
+    int y0 = static_cast<int>(fy);
+    int y1 = std::min(y0 + 1, img.h - 1);
+    float wy = static_cast<float>(fy - y0);
+    const uint8_t* r0 = &img.pixels[static_cast<size_t>(y0) * img.w * ch];
+    const uint8_t* r1 = &img.pixels[static_cast<size_t>(y1) * img.w * ch];
+    for (int x = 0; x < ow; ++x) {
+      double fx = (x + 0.5) * sx - 0.5;
+      if (fx < 0) fx = 0;
+      if (fx > img.w - 1) fx = img.w - 1;
+      int x0 = static_cast<int>(fx);
+      int x1 = std::min(x0 + 1, img.w - 1);
+      float wx = static_cast<float>(fx - x0);
+      float* o = &out[(static_cast<size_t>(y) * ow + x) * 3];
+      for (int c = 0; c < 3; ++c) {
+        int cc = c < ch ? c : ch - 1;  // gray -> replicate
+        float v00 = r0[x0 * ch + cc], v01 = r0[x1 * ch + cc];
+        float v10 = r1[x0 * ch + cc], v11 = r1[x1 * ch + cc];
+        float top = v00 + (v01 - v00) * wx;
+        float bot = v10 + (v11 - v10) * wx;
+        o[c] = (top + (bot - top) * wy) * inv255;
+      }
+    }
+  }
+}
+
+// -------------------------------------------------------- thread pool ----
+
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) {
+    for (int i = 0; i < n; ++i) {
+      workers_.emplace_back([this] { loop(); });
+    }
+  }
+  ~ThreadPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+  void submit(std::function<void()> fn) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      q_.push(std::move(fn));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void loop() {
+    for (;;) {
+      std::function<void()> fn;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !q_.empty(); });
+        if (stop_ && q_.empty()) return;
+        fn = std::move(q_.front());
+        q_.pop();
+      }
+      fn();
+    }
+  }
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> q_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_ = false;
+};
+
+}  // namespace
+
+// ----------------------------------------------------------- C ABI ------
+
+extern "C" {
+
+// Single-image loads. Return 0 on success, nonzero on failure.
+int vlg_load_rgb(const char* path, float* out, int out_h, int out_w) {
+  Image img;
+  if (!decode_png(path, img)) return 1;
+  resize_bilinear_rgb(img, out, out_h, out_w);
+  return 0;
+}
+
+int vlg_load_gray_ids(const char* path, int32_t* out, int out_h, int out_w) {
+  Image img;
+  if (!decode_png(path, img)) return 1;
+  resize_nearest_ids(img, out, out_h, out_w);
+  return 0;
+}
+
+// Persistent pool ------------------------------------------------------
+void* vlg_pool_create(int n_threads) {
+  return new ThreadPool(n_threads > 0 ? n_threads : 1);
+}
+
+void vlg_pool_destroy(void* pool) { delete static_cast<ThreadPool*>(pool); }
+
+// Batch decode: n images into a contiguous NHWC buffer. paths is an array
+// of n C strings; kind 0 = rgb float, 1 = gray int32. Blocks until done;
+// returns the number of failures.
+int vlg_pool_load_batch(void* pool, const char** paths, int n, int kind,
+                        void* out, int out_h, int out_w) {
+  ThreadPool* tp = static_cast<ThreadPool*>(pool);
+  std::atomic<int> failures{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  for (int i = 0; i < n; ++i) {
+    tp->submit([&, i] {
+      int rc;
+      if (kind == 0) {
+        float* dst = static_cast<float*>(out) +
+                     static_cast<size_t>(i) * out_h * out_w * 3;
+        rc = vlg_load_rgb(paths[i], dst, out_h, out_w);
+      } else {
+        int32_t* dst = static_cast<int32_t*>(out) +
+                       static_cast<size_t>(i) * out_h * out_w;
+        rc = vlg_load_gray_ids(paths[i], dst, out_h, out_w);
+      }
+      if (rc) failures.fetch_add(1);
+      if (done.fetch_add(1) + 1 == n) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return failures.load();
+}
+
+}  // extern "C"

@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+# A host plugin may have forced jax_platforms to "axon,cpu" (tunneled TPU)
+# before this conftest runs; tests must be hermetic on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: reruns skip XLA compiles entirely.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))

@@ -1,0 +1,48 @@
+"""Adversarial training path (reference's flag-complete GAN capability,
+src/trainer.py:219-246, SURVEY.md §7 step 7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_layout_generation_tpu.config import Config
+from video_layout_generation_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def gan_trainer(tmp_path_factory):
+    cfg = Config(
+        dataset="synthetic", synthetic_train_size=4, synthetic_val_size=4,
+        image_size=(32, 32), batch_size=4, epochs=1, edge=False,
+        filters_level=(4, 6, 8), compute_dtype="float32", workers=1,
+        print_freq=1, path=str(tmp_path_factory.mktemp("gan_exp")),
+        mesh_shape=(1,), gan_train=True, gan_mode="lsgan", ndf=8,
+        rollout_frames=1,
+    )
+    return Trainer(cfg)
+
+
+def test_gan_step_updates_both_nets(gan_trainer):
+    t = gan_trainer
+    g0 = jax.tree_util.tree_leaves(t.state.gen.params)
+    d0 = jax.tree_util.tree_leaves(t.state.disc.params)
+    t.set_epoch(0)
+    t.train()
+    g1 = jax.tree_util.tree_leaves(t.state.gen.params)
+    d1 = jax.tree_util.tree_leaves(t.state.disc.params)
+    assert any(not np.array_equal(a, b) for a, b in zip(g0, g1))
+    assert any(not np.array_equal(a, b) for a, b in zip(d0, d1))
+
+
+def test_gan_validate_and_checkpoint(gan_trainer):
+    t = gan_trainer
+    m = t.validate()
+    assert np.isfinite(m["loss"])
+    t.save_checkpoint()
+    import os
+    ckpt = os.path.join(t.cfg.path, "checkpoint", "001")
+    t2 = Trainer(t.cfg.replace(resume=ckpt))
+    for a, b in zip(jax.tree_util.tree_leaves(t.state.disc.params),
+                    jax.tree_util.tree_leaves(t2.state.disc.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,44 @@
+"""Rollout semantics: the lax.scan program must equal a hand-rolled python
+autoregressive loop over the same model (SURVEY.md §3.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_layout_generation_tpu.models import GridNet
+from video_layout_generation_tpu.train.assemble import (
+    assemble_model_input, normalize_model_output)
+from video_layout_generation_tpu.train.rollout import make_rollout_fn
+
+
+def test_scan_rollout_matches_python_loop():
+    h = w = 16
+    model = GridNet(n_channels=8, filters_level=(4, 6, 8))
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, h, w, 8)))
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+    seg1 = jnp.asarray(rng.integers(0, 20, (2, h, w, 1)).astype(np.float32))
+    seg2 = jnp.asarray(rng.integers(0, 20, (2, h, w, 1)).astype(np.float32))
+
+    rollout = make_rollout_fn(model.apply, None, n_frames=3,
+                              use_edges=False)
+    imgs, segs = rollout(params, None, img1, img2, seg1, seg2)
+
+    # reference python loop (sliding window of last two)
+    fs, ss = [img1, img2], [seg1, seg2]
+    apply = jax.jit(model.apply)
+    for _ in range(3):
+        x = assemble_model_input(ss[-2], fs[-2], fs[-1], ss[-1])
+        logits, im = apply(params, x)
+        im_n = normalize_model_output(im)
+        s_n = jnp.argmax(logits, axis=-1)[..., None].astype(jnp.float32)
+        fs.append(im_n)
+        ss.append(s_n)
+
+    for t in range(3):
+        np.testing.assert_allclose(np.asarray(imgs[:, t]),
+                                   np.asarray(fs[2 + t]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(segs[:, t]),
+                                      np.asarray(ss[2 + t]))

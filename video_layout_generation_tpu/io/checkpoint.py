@@ -32,9 +32,11 @@ class CheckpointManager:
         return os.path.join(self.directory, str(tag))
 
     def save(self, epoch: int, params: Any, opt_state: Any, step: int,
-             arch: str):
+             arch: str, extra: Optional[dict] = None):
         tree = {"params": params, "opt_state": opt_state,
                 "epoch": epoch, "step": int(step), "arch": arch}
+        if extra:
+            tree.update(extra)
         path = self._path(epoch)
         self._ckptr.save(path, tree, force=True)
         # 'latest' alias: a symlink (cheap), falling back to a re-save

@@ -35,7 +35,11 @@ def make_mesh(devices: Optional[Sequence] = None,
     devices = list(jax.devices()) if devices is None else list(devices)
     if shape is None:
         shape = [len(devices)] + [1] * (len(axis_names) - 1)
-    arr = np.array(devices).reshape(tuple(shape))
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, "
+                         f"have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))
 
 

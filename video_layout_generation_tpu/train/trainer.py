@@ -94,7 +94,19 @@ class Trainer:
 
         # --- optimizer / state ------------------------------------------
         tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.beta1)
-        self.state = TrainState.create(self.params, tx)
+        gen_state = TrainState.create(self.params, tx)
+        if cfg.gan_train:
+            from .gan import GanTrainState
+            self.disc = self._build_discriminator(cfg, dtype)
+            d_params = jax.jit(self.disc.init)(
+                jax.random.key(1), jnp.zeros((1, h, w, 9), jnp.float32))
+            d_tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.beta1)
+            self.state = GanTrainState(gen=gen_state,
+                                       disc=TrainState.create(d_params,
+                                                              d_tx))
+        else:
+            self.disc = None
+            self.state = gen_state
         self.epoch = 0
         self.global_step = 0
 
@@ -104,16 +116,29 @@ class Trainer:
         if cfg.ckpt:  # warm-start weights only
             self.logger.info("Loading from ckpt %s" % cfg.ckpt)
             tree = CheckpointManager.restore_path(cfg.ckpt)
-            self.state = self.state.replace(params=tree["params"])
+            if cfg.gan_train:
+                gen = self.state.gen.replace(params=tree["params"])
+                disc = self.state.disc
+                if "disc_params" in tree:
+                    disc = disc.replace(params=tree["disc_params"])
+                self.state = self.state.replace(gen=gen, disc=disc)
+            else:
+                self.state = self.state.replace(params=tree["params"])
         if cfg.resume:
             self.load_checkpoint(cfg.resume)
 
         # --- steps -------------------------------------------------------
         model_apply = self.model.apply
         hned_apply = self.hned.apply if self.hned is not None else None
-        self._train_step = make_train_step(
-            model_apply, hned_apply, self.combined,
-            cfg.w_l1, cfg.w_style, cfg.w_seg)
+        if cfg.gan_train:
+            from .gan import make_gan_train_step
+            self._train_step = make_gan_train_step(
+                model_apply, self.disc.apply, hned_apply, self.combined,
+                cfg.gan_mode, cfg.w_l1, cfg.w_style, cfg.w_seg)
+        else:
+            self._train_step = make_train_step(
+                model_apply, hned_apply, self.combined,
+                cfg.w_l1, cfg.w_style, cfg.w_seg)
         self._eval_step = make_eval_step(
             model_apply, hned_apply, self.combined,
             cfg.w_l1, cfg.w_style, cfg.w_seg)
@@ -137,6 +162,29 @@ class Trainer:
             sum(x.size for x in jax.tree_util.tree_leaves(self.params))))
 
     # ------------------------------------------------------------------
+    @property
+    def model_params(self):
+        """Generator params regardless of plain/GAN training mode."""
+        return (self.state.gen.params if self.cfg.gan_train
+                else self.state.params)
+
+    @staticmethod
+    def _build_discriminator(cfg, dtype):
+        from ..models import NLayerDiscriminator, PixelDiscriminator
+        if cfg.netD == "basic":
+            return NLayerDiscriminator(9, cfg.ndf, n_layers=3, norm=cfg.norm,
+                                       init_type=cfg.init_type,
+                                       init_gain=cfg.init_gain, dtype=dtype)
+        if cfg.netD == "n_layers":
+            return NLayerDiscriminator(9, cfg.ndf, n_layers=cfg.n_layers_D,
+                                       norm=cfg.norm, init_type=cfg.init_type,
+                                       init_gain=cfg.init_gain, dtype=dtype)
+        if cfg.netD == "pixel":
+            return PixelDiscriminator(9, cfg.ndf, norm=cfg.norm,
+                                      init_type=cfg.init_type,
+                                      init_gain=cfg.init_gain, dtype=dtype)
+        raise ValueError(f"unknown netD {cfg.netD!r}")
+
     def _default_datasets(self):
         cfg = self.cfg
         if cfg.dataset == "synthetic":
@@ -166,10 +214,16 @@ class Trainer:
             lr = epoch_decayed_lr(self.cfg.lr, epoch,
                                   self.cfg.lr_decay_step,
                                   self.cfg.lr_decay_gamma)
-            self.state = set_lr(self.state, lr)
+            if self.cfg.gan_train:
+                self.state = self.state.replace(
+                    gen=set_lr(self.state.gen, lr),
+                    disc=set_lr(self.state.disc, lr))
+                lr_now = current_lr(self.state.gen)
+            else:
+                self.state = set_lr(self.state, lr)
+                lr_now = current_lr(self.state)
             if is_primary():
-                self.writer.add_scalar("other/lr-epoch",
-                                       current_lr(self.state), self.epoch)
+                self.writer.add_scalar("other/lr-epoch", lr_now, self.epoch)
 
     def train(self):
         self.logger.info("Training started")
@@ -206,7 +260,7 @@ class Trainer:
         cm_total = None
         for i, batch in enumerate(self.val_loader):
             metrics, seg_ids, img_n = self._eval_step(
-                self.state.params, self.hned_params, batch)
+                self.model_params, self.hned_params, batch)
             bs = batch["img1"].shape[0]
             meter.update(float(metrics["loss"]), bs)
             cm = confusion_matrix(seg_ids, batch["seg3"], cfg.n_classes)
@@ -237,23 +291,40 @@ class Trainer:
         if self.ckpt is None or not is_primary():
             return
         self.logger.info("Saving checkpoint..")
-        self.ckpt.save(self.epoch, self.state.params, self.state.opt_state,
-                       self.global_step, self.cfg.arch)
+        if self.cfg.gan_train:
+            self.ckpt.save(
+                self.epoch, self.state.gen.params, self.state.gen.opt_state,
+                self.global_step, self.cfg.arch,
+                extra={"disc_params": self.state.disc.params,
+                       "disc_opt_state": self.state.disc.opt_state})
+        else:
+            self.ckpt.save(self.epoch, self.state.params,
+                           self.state.opt_state, self.global_step,
+                           self.cfg.arch)
 
     def load_checkpoint(self, resume: str):
         self.logger.info("Resuming checkpoint %s" % resume)
         tree = CheckpointManager.restore_path(resume, arch=self.cfg.arch)
         self.epoch = int(tree["epoch"])
         self.global_step = int(tree.get("step", 0))
-        self.state = self.state.replace(params=tree["params"],
-                                        opt_state=tree["opt_state"])
+        if self.cfg.gan_train:
+            gen = self.state.gen.replace(params=tree["params"],
+                                         opt_state=tree["opt_state"])
+            disc = self.state.disc
+            if "disc_params" in tree:
+                disc = disc.replace(params=tree["disc_params"],
+                                    opt_state=tree["disc_opt_state"])
+            self.state = self.state.replace(gen=gen, disc=disc)
+        else:
+            self.state = self.state.replace(params=tree["params"],
+                                            opt_state=tree["opt_state"])
         self.logger.info("Checkpoint loaded")
 
     # ------------------------------------------------------------------
     def generate_sequence(self, img1, img2, seg1, seg2,
                           save: bool = True):
         """Rollout from normalized (N,H,W,3) frames + (N,H,W,1) layouts."""
-        imgs, segs = self._rollout(self.state.params, self.hned_params,
+        imgs, segs = self._rollout(self.model_params, self.hned_params,
                                    img1, img2, seg1, seg2)
         if save and is_primary() and self.predict_dir:
             full_imgs = np.concatenate(
