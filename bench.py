@@ -53,13 +53,18 @@ def main():
     import jax.numpy as jnp
 
     from video_layout_generation_tpu.models import GridNet
+    from video_layout_generation_tpu.models.fast_gridnet import (
+        make_packed_gridnet_apply)
     from video_layout_generation_tpu.train.rollout import make_rollout_fn
 
     model = GridNet(n_channels=8, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.key(0),
                                  jnp.zeros((1, HW, HW, 8), jnp.float32))
 
-    ro = make_rollout_fn(model.apply, None, n_frames=N_FRAMES,
+    # packed (space-to-depth) executor: same params, exact computation,
+    # row-0 convs at full MXU width (see models/fast_gridnet.py)
+    fast_apply = make_packed_gridnet_apply(dtype=jnp.bfloat16)
+    ro = make_rollout_fn(fast_apply, None, n_frames=N_FRAMES,
                          use_edges=False, jit=False)
     # device-side reduction -> sync by fetching one scalar
     fn = jax.jit(lambda p, a, b, c, d: jax.tree_util.tree_map(

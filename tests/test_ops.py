@@ -96,3 +96,42 @@ def test_add_coord_channels_range_and_shape():
                                atol=1e-6)
     np.testing.assert_allclose(yy[0, 0, :, 4], np.linspace(-1, 1, 9),
                                atol=1e-6)
+
+
+def test_mask2box_matches_reference_semantics():
+    from video_layout_generation_tpu.ops.boxes import mask2box
+    mask = np.ones((2, 8, 8), np.float32)
+    mask[0, 2:5, 3:7] = 0.0       # inner region rows 2-4, cols 3-6
+    mask[1, 0:1, 0:1] = 0.0       # single pixel
+    boxes = np.asarray(mask2box(jnp.asarray(mask)))
+    np.testing.assert_array_equal(boxes[0], [2, 3, 4, 6])
+    np.testing.assert_array_equal(boxes[1], [0, 0, 0, 0])
+
+
+def test_schedules_match_torch_policies():
+    import torch
+    from video_layout_generation_tpu.train.schedules import (
+        PlateauScheduler, cosine_lr, linear_lr, step_lr)
+    base = 0.1
+    # step vs torch StepLR
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+    sch = torch.optim.lr_scheduler.StepLR(opt, step_size=3, gamma=0.1)
+    for epoch in range(8):
+        assert abs(step_lr(base, epoch, 3, 0.1)
+                   - opt.param_groups[0]["lr"]) < 1e-9
+        sch.step()
+    # cosine vs torch CosineAnnealingLR
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+    sch = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=10)
+    for epoch in range(10):
+        assert abs(cosine_lr(base, epoch, 10)
+                   - opt.param_groups[0]["lr"]) < 1e-7
+        sch.step()
+    # linear matches the reference lambda (networks.py:52-54)
+    for epoch in range(12):
+        lam = 1.0 - max(0, epoch + 1 - 5) / float(6 + 1)
+        assert abs(linear_lr(base, epoch, 1, 5, 6) - base * lam) < 1e-9
+    # plateau reduces after patience exhausted
+    ps = PlateauScheduler(base, patience=2)
+    lrs = [ps.update(1.0) for _ in range(5)]
+    assert lrs[-1] < base

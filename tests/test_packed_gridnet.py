@@ -1,0 +1,69 @@
+"""Packed (space-to-depth) GridNet executor == flax GridNet, exactly.
+
+The packed kernels are a re-indexing of the logical kernels, so in fp32 the
+two programs must agree to float tolerance (ops/packed.py derivation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_layout_generation_tpu.models import GridNet
+from video_layout_generation_tpu.models.fast_gridnet import (
+    make_packed_gridnet_apply)
+from video_layout_generation_tpu.ops.packed import (pack2x2, pack_kernel3x3,
+                                                    pack_kernel3x3_stride2,
+                                                    packed_upsample2x_align,
+                                                    unpack2x2)
+from video_layout_generation_tpu.ops.resize import upsample2x_bilinear_align
+
+
+def test_pack_unpack_roundtrip():
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    np.testing.assert_array_equal(np.asarray(unpack2x2(pack2x2(x))),
+                                  np.asarray(x))
+
+
+def test_packed_conv3x3_exact():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 5)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    from video_layout_generation_tpu.ops.packed import conv_packed3x3
+    got = unpack2x2(conv_packed3x3(pack2x2(x), pack_kernel3x3(w)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_packed_stride2_exact():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 6)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    from video_layout_generation_tpu.ops.packed import conv_packed_stride2
+    got = conv_packed_stride2(pack2x2(x), pack_kernel3x3_stride2(w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_packed_upsample_matches():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    ref = pack2x2(upsample2x_bilinear_align(x, exact=True))
+    got = packed_upsample2x_align(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_gridnet_matches_flax():
+    model = GridNet(n_channels=8, filters_level=(4, 6, 8))
+    x = jnp.asarray(np.random.default_rng(3)
+                    .standard_normal((2, 16, 16, 8)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    seg_ref, img_ref = jax.jit(model.apply)(variables, x)
+    fast = make_packed_gridnet_apply(dtype=jnp.float32)
+    seg, img = jax.jit(fast)(variables, x)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(seg_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                               atol=2e-4)

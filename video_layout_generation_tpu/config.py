@@ -70,6 +70,8 @@ class Config:
     compute_dtype: str = "bfloat16"     # activation dtype inside the nets
     loss_dtype: str = "float32"         # losses always reduced in fp32
     remat: bool = False                 # jax.checkpoint the grid columns
+    fast_rollout: bool = True           # packed (space-to-depth) executor
+                                        # for inference when arch supports it
 
     # -- runtime ------------------------------------------------------------
     workers: int = 4

@@ -1,0 +1,143 @@
+"""Packed-execution GridNet — an optimized inference executor.
+
+Runs the exact GridNet computation (models/gridnet.py) from the *same*
+flax parameter tree, but executes the 256px / 32-channel row in 2x2
+space-to-depth packed form (ops/packed.py): row-0 convs become 128-channel
+convs at 128px, which the MXU runs ~10x more efficiently (measured
+15 -> 152 TFLOP/s on v5e). Rows 1-2 (64/96 channels at 128/64px) run
+standard. Used by the rollout/serving path; training keeps the flax module
+(autodiff through the packed kernels would also work, but the plain model
+is the source of truth for grads).
+
+Numerics: identical graph up to bf16 rounding — the kernel repacking is an
+exact re-indexing; parity is tested against ``GridNet.apply`` in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.packed import (conv_packed3x3, conv_packed_stride2, pack2x2,
+                          pack_kernel3x3, pack_kernel3x3_stride2,
+                          packed_upsample2x_align, unpack2x2)
+from ..ops.resize import upsample2x_bilinear_align
+
+Dtype = Any
+
+
+def _prelu(x, alpha):
+    a = jnp.asarray(alpha, x.dtype)
+    return jnp.where(x >= 0, x, a * x)
+
+
+def _conv_std(x, w, b, stride=1):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    return y + b.astype(y.dtype)
+
+
+def _lateral_std(p, x):
+    y = _prelu(x, p["PReLU_0"]["alpha"])
+    y = _conv_std(y, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+    y = _prelu(y, p["PReLU_1"]["alpha"])
+    y = _conv_std(y, p["Conv_1"]["kernel"], p["Conv_1"]["bias"])
+    if "Conv_2" in p:
+        y = y + _conv_std(x, p["Conv_2"]["kernel"], p["Conv_2"]["bias"])
+    return y
+
+
+def _lateral_packed(p, xp):
+    dt = xp.dtype
+    y = _prelu(xp, p["PReLU_0"]["alpha"])
+    y = conv_packed3x3(y, pack_kernel3x3(p["Conv_0"]["kernel"]).astype(dt),
+                       p["Conv_0"]["bias"])
+    y = _prelu(y, p["PReLU_1"]["alpha"])
+    y = conv_packed3x3(y, pack_kernel3x3(p["Conv_1"]["kernel"]).astype(dt),
+                       p["Conv_1"]["bias"])
+    if "Conv_2" in p:
+        y = y + conv_packed3x3(
+            xp, pack_kernel3x3(p["Conv_2"]["kernel"]).astype(dt),
+            p["Conv_2"]["bias"])
+    return y
+
+
+def _down_from_packed(p, xp):
+    """DownSamplingBlock whose input lives in packed row-0 space."""
+    dt = xp.dtype
+    y = _prelu(xp, p["PReLU_0"]["alpha"])
+    y = conv_packed_stride2(
+        y, pack_kernel3x3_stride2(p["Conv_0"]["kernel"]).astype(dt),
+        p["Conv_0"]["bias"])
+    y = _prelu(y, p["PReLU_1"]["alpha"])
+    return _conv_std(y, p["Conv_1"]["kernel"], p["Conv_1"]["bias"])
+
+
+def _down_std(p, x):
+    y = _prelu(x, p["PReLU_0"]["alpha"])
+    y = _conv_std(y, p["Conv_0"]["kernel"], p["Conv_0"]["bias"], stride=2)
+    y = _prelu(y, p["PReLU_1"]["alpha"])
+    return _conv_std(y, p["Conv_1"]["kernel"], p["Conv_1"]["bias"])
+
+
+def _up_std(p, x):
+    y = upsample2x_bilinear_align(x)
+    y = _prelu(y, p["PReLU_0"]["alpha"])
+    y = _conv_std(y, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+    y = _prelu(y, p["PReLU_1"]["alpha"])
+    return _conv_std(y, p["Conv_1"]["kernel"], p["Conv_1"]["bias"])
+
+
+def _up_to_packed(p, x):
+    """UpSamplingBlock producing packed row-0 output: packed upsample then
+    packed convs."""
+    dt = x.dtype
+    y = packed_upsample2x_align(x)
+    y = _prelu(y, p["PReLU_0"]["alpha"])
+    y = conv_packed3x3(y, pack_kernel3x3(p["Conv_0"]["kernel"]).astype(dt),
+                       p["Conv_0"]["bias"])
+    y = _prelu(y, p["PReLU_1"]["alpha"])
+    return conv_packed3x3(
+        y, pack_kernel3x3(p["Conv_1"]["kernel"]).astype(dt),
+        p["Conv_1"]["bias"])
+
+
+def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
+                              n_col: int = 6):
+    """Build ``apply(variables, x) -> (seg_logits, img)`` matching
+    ``GridNet.apply`` (plain GridNet, coord_in=False)."""
+
+    def apply(variables, x):
+        P = variables["params"]
+        dt = dtype or x.dtype
+        xp = pack2x2(x.astype(dt))
+
+        x0 = _lateral_packed(P["lateral_in"], xp)           # packed 256px row
+        x1 = _down_from_packed(P["down_00"], x0)            # 128px
+        x2 = _down_std(P["down_10"], x1)                    # 64px
+
+        for i in range(1, n_col):
+            C = P[f"col_{i}"]
+            if i < n_col / 2:
+                x0 = _lateral_packed(C[f"lateral_0{i-1}"], x0)
+                x1 = (_down_from_packed(C[f"down_0{i}"], x0)
+                      + _lateral_std(C[f"lateral_1{i-1}"], x1))
+                x2 = (_down_std(C[f"down_1{i}"], x1)
+                      + _lateral_std(C[f"lateral_2{i-1}"], x2))
+            else:
+                x2 = _lateral_std(C[f"lateral_2{i-1}"], x2)
+                x1 = (_up_std(C[f"up_1{i}"], x2)
+                      + _lateral_std(C[f"lateral_1{i-1}"], x1))
+                x0 = (_up_to_packed(C[f"up_0{i}"], x1)
+                      + _lateral_packed(C[f"lateral_0{i-1}"], x0))
+
+        seg = unpack2x2(_lateral_packed(P["lateral_out_seg"], x0))
+        img = unpack2x2(_lateral_packed(P["lateral_out_img"], x0))
+        return seg.astype(jnp.float32), img.astype(jnp.float32)
+
+    return apply

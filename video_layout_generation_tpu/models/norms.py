@@ -16,13 +16,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 class InstanceNorm(nn.Module):
-    """InstanceNorm over the H,W axes of NHWC, non-affine."""
+    """InstanceNorm over the H,W axes of NHWC, non-affine.
+
+    On TPU with lane-aligned channels this dispatches to the fused
+    single-pass Pallas kernel (ops/pallas/instance_norm.py); elsewhere the
+    plain XLA formulation.
+    """
     epsilon: float = 1e-5
     dtype: Optional[Any] = None
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
+        if self.use_pallas and x.ndim == 4 and _on_tpu():
+            from ..ops.pallas.instance_norm import instance_norm_pallas
+            return instance_norm_pallas(x, self.epsilon)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
         var = jnp.var(xf, axis=(-3, -2), keepdims=True)

@@ -8,6 +8,7 @@ from .pooling import avg_pool_3x3_valid, max_pool_2x2
 from .colorize import CITYSCAPES_COLORS, colorize_seg
 from .one_hot import seg_one_hot
 from .coords import add_coord_channels
+from .boxes import mask2box
 
 __all__ = [
     "resize_bilinear",
@@ -20,4 +21,5 @@ __all__ = [
     "colorize_seg",
     "seg_one_hot",
     "add_coord_channels",
+    "mask2box",
 ]

@@ -1,0 +1,161 @@
+"""Space-to-depth (2x2) packed convolution transforms.
+
+Why: GridNet's hot row runs 3x3 convs with 32 channels at 256px. On the MXU
+an NHWC conv with C_out=32 uses 32/128 output lanes — measured ~15 TFLOP/s
+vs ~152 TFLOP/s for C=128 at the same byte volume. Packing 2x2 spatial
+blocks into channels (256^2 x C -> 128^2 x 4C) turns those convs into
+128-channel convs that run near MXU peak; the 3x3 stride-1 conv and the 3x3
+stride-2 conv both have *exact* packed-space equivalents with restructured
+kernels, so results are bit-identical in exact arithmetic.
+
+Derivation (per axis): output pixel 2i+e (phase e in {0,1}), kernel tap k in
+{0,1,2}, input pixel 2i+e+k-1 = 2(i+q)+d with packed phase d in {0,1} and
+spatial shift q = (e+k-1-d)/2 — so
+  stride-1: k = 2q+1+d-e, q in {-1,0,1}  -> packed kernel is 3x3,
+  stride-2 (unpacked output at half res): k = 2q+d+1, q in {-1,0}
+            -> packed kernel is 2x2 with ((1,0),(1,0)) padding.
+
+Channel order: phase-major — packed channel = (dy*2+dx)*C + c, so biases
+tile with ``jnp.tile(b, 4)``.
+
+These transforms run at trace time on the *logical* parameters; the packed
+executor (models/fast_gridnet.py) therefore consumes standard checkpoints.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2H, 2W, C) -> (B, H, W, 4C), phase-major channels."""
+    b, h2, w2, c = x.shape
+    h, w = h2 // 2, w2 // 2
+    y = x.reshape(b, h, 2, w, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)      # B,H,W,dy,dx,C
+    return y.reshape(b, h, w, 4 * c)
+
+
+def unpack2x2(y: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 4C) -> (B, 2H, 2W, C)."""
+    b, h, w, c4 = y.shape
+    c = c4 // 4
+    x = y.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)      # B,H,dy,W,dx,C
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _axis_taps_s1():
+    """(e, d) -> [(q, k)] for the stride-1 identity k = 2q+1+d-e."""
+    taps = {}
+    for e in (0, 1):
+        for d in (0, 1):
+            lst = []
+            for q in (-1, 0, 1):
+                k = 2 * q + 1 + d - e
+                if 0 <= k <= 2:
+                    lst.append((q, k))
+            taps[(e, d)] = lst
+    return taps
+
+
+def _axis_taps_s2():
+    """(d,) -> [(q, k)] for the stride-2 identity k = 2q+d+1."""
+    taps = {}
+    for d in (0, 1):
+        lst = []
+        for q in (-1, 0):
+            k = 2 * q + d + 1
+            if 0 <= k <= 2:
+                lst.append((q, k))
+        taps[d] = lst
+    return taps
+
+
+def pack_kernel3x3(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) logical kernel -> (3,3,4Ci,4Co) packed-space kernel."""
+    _, _, ci, co = w.shape
+    taps = _axis_taps_s1()
+    out = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for ey in (0, 1):
+        for ex in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    for qy, ky in taps[(ey, dy)]:
+                        for qx, kx in taps[(ex, dx)]:
+                            ic = (dy * 2 + dx) * ci
+                            oc = (ey * 2 + ex) * co
+                            out = out.at[qy + 1, qx + 1, ic:ic + ci,
+                                         oc:oc + co].set(w[ky, kx])
+    return out
+
+
+def pack_kernel3x3_stride2(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) stride-2 logical kernel -> (2,2,4Ci,Co) packed kernel.
+
+    Apply with stride 1 and padding ((1,0),(1,0)) on the packed input; the
+    output is already at the downsampled (unpacked) resolution.
+    """
+    _, _, ci, co = w.shape
+    taps = _axis_taps_s2()
+    out = jnp.zeros((2, 2, 4 * ci, co), w.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            for qy, ky in taps[dy]:
+                for qx, kx in taps[dx]:
+                    ic = (dy * 2 + dx) * ci
+                    out = out.at[qy + 1, qx + 1, ic:ic + ci, :].set(
+                        w[ky, kx])
+    return out
+
+
+def conv_packed3x3(x: jnp.ndarray, w_packed: jnp.ndarray,
+                   bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Packed-space stride-1 conv; bias is the logical (Co,) bias."""
+    y = jax.lax.conv_general_dilated(
+        x, w_packed, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, 4).astype(y.dtype)
+    return y
+
+
+def conv_packed_stride2(x: jnp.ndarray, w_packed2: jnp.ndarray,
+                        bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Packed input -> unpacked half-res output (the logical stride-2 conv)."""
+    y = jax.lax.conv_general_dilated(
+        x, w_packed2, (1, 1), [(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_matrices(in_size: int, np_bytes: bytes = b""):
+    """Align-corners x2 interpolation matrix split into even/odd phases."""
+    from .resize import _interp_matrix_np
+    a = _interp_matrix_np(in_size, 2 * in_size, "bilinear", True)
+    return np.ascontiguousarray(a[0::2]), np.ascontiguousarray(a[1::2])
+
+
+def packed_upsample2x_align(x: jnp.ndarray) -> jnp.ndarray:
+    """Align-corners bilinear x2 of (B,H,W,C), emitted directly in packed
+    layout (B,H,W,4C) — equivalent to pack2x2(upsample2x(x))."""
+    b, h, w, c = x.shape
+    ah0, ah1 = (jnp.asarray(m, x.dtype) for m in _phase_matrices(h))
+    aw0, aw1 = (jnp.asarray(m, x.dtype) for m in _phase_matrices(w))
+    rows = [jnp.einsum("ph,bhwc->bpwc", m, x,
+                       preferred_element_type=x.dtype) for m in (ah0, ah1)]
+    phases = []
+    for ry in rows:                    # dy = 0, 1
+        for mw in (aw0, aw1):          # dx = 0, 1
+            phases.append(jnp.einsum("qw,bpwc->bpqc", mw, ry,
+                                     preferred_element_type=x.dtype))
+    return jnp.concatenate(phases, axis=-1)

@@ -65,19 +65,28 @@ def interp_matrix(in_size: int, out_size: int, method: str = "bilinear",
                                          bool(align_corners)))
 
 
-def _apply_separable(x: jnp.ndarray, ah: jnp.ndarray,
-                     aw: jnp.ndarray) -> jnp.ndarray:
-    """x: (..., H, W, C); ah: (H2, H); aw: (W2, W)."""
+def _apply_separable(x: jnp.ndarray, ah: jnp.ndarray, aw: jnp.ndarray,
+                     exact: bool = True) -> jnp.ndarray:
+    """x: (..., H, W, C); ah: (H2, H); aw: (W2, W).
+
+    exact=True runs the interpolation in fp32 at HIGHEST matmul precision
+    (bit-parity with torch/cv2 — data path, HNED score maps). exact=False
+    keeps the input dtype at default precision — the fast in-model path
+    where bf16 interpolation error is irrelevant next to conv bf16.
+    """
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    # HIGHEST keeps the fp32 interpolation exact on TPU (default fp32 matmul
-    # precision is bf16-grade); these matrices are tiny so cost is negligible.
-    y = jnp.einsum("ph,...hwc->...pwc", ah, xf,
-                   precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)
-    y = jnp.einsum("qw,...pwc->...pqc", aw, y,
-                   precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)
+    if exact:
+        xf = x.astype(jnp.float32)
+        prec = jax.lax.Precision.HIGHEST
+        pet = jnp.float32
+    else:
+        xf = x
+        prec = None
+        pet = dtype
+    y = jnp.einsum("ph,...hwc->...pwc", ah.astype(xf.dtype), xf,
+                   precision=prec, preferred_element_type=pet)
+    y = jnp.einsum("qw,...pwc->...pqc", aw.astype(xf.dtype), y,
+                   precision=prec, preferred_element_type=pet)
     return y.astype(dtype)
 
 
@@ -108,7 +117,14 @@ def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     return y
 
 
-def upsample2x_bilinear_align(x: jnp.ndarray) -> jnp.ndarray:
-    """x2 bilinear upsample with align_corners=True (torch Upsample parity)."""
+def upsample2x_bilinear_align(x: jnp.ndarray,
+                              exact: bool = False) -> jnp.ndarray:
+    """x2 bilinear upsample with align_corners=True (torch Upsample parity).
+
+    Default is the fast in-dtype path (model blocks); pass exact=True for
+    fp32 bit-parity.
+    """
     h, w = x.shape[-3], x.shape[-2]
-    return resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
+    ah = interp_matrix(h, 2 * h, "bilinear", True)
+    aw = interp_matrix(w, 2 * w, "bilinear", True)
+    return _apply_separable(x, ah, aw, exact=exact)

@@ -61,6 +61,8 @@ def _build_model(cfg: Config):
 class Trainer:
     def __init__(self, cfg: Config, dataset_train=None, dataset_val=None):
         self.cfg = cfg
+        if cfg.path:
+            os.makedirs(cfg.path, exist_ok=True)
         self.logger = get_logger(
             os.path.join(cfg.path, "experiment.log") if cfg.path else None,
             process=jax.process_index())
@@ -142,7 +144,11 @@ class Trainer:
         self._eval_step = make_eval_step(
             model_apply, hned_apply, self.combined,
             cfg.w_l1, cfg.w_style, cfg.w_seg)
-        self._rollout = make_rollout_fn(model_apply, hned_apply,
+        rollout_apply = model_apply
+        if cfg.fast_rollout and cfg.arch == "GridNet":
+            from ..models.fast_gridnet import make_packed_gridnet_apply
+            rollout_apply = make_packed_gridnet_apply(dtype=dtype)
+        self._rollout = make_rollout_fn(rollout_apply, hned_apply,
                                         n_frames=cfg.rollout_frames,
                                         use_edges=cfg.edge)
 
