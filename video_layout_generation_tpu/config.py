@@ -72,6 +72,9 @@ class Config:
     remat: bool = False                 # jax.checkpoint the grid columns
     fast_rollout: bool = True           # packed (space-to-depth) executor
                                         # for inference when arch supports it
+    fast_train: bool = True             # packed executor inside the train /
+                                        # eval steps too (exact same grads;
+                                        # measured 1.26x on v5e)
 
     # -- runtime ------------------------------------------------------------
     workers: int = 4

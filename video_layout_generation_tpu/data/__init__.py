@@ -3,5 +3,20 @@ from .synthetic import SyntheticTriplets
 from .cityscapes import CityscapesTriplets
 from .pipeline import HostLoader, ShardedLoader
 
+
+def get_dataset(cfg):
+    """Dataset factory (reference ``get_dataset(args)``, src/data.py:28-52):
+    returns (train_dataset, val_dataset) for the configured dataset."""
+    if cfg.dataset == "cityscape":
+        return (CityscapesTriplets(cfg.train_dir, cfg.image_size),
+                CityscapesTriplets(cfg.val_dir, cfg.image_size))
+    if cfg.dataset == "synthetic":
+        return (SyntheticTriplets(cfg.synthetic_train_size, cfg.image_size,
+                                  cfg.n_classes, seed=cfg.seed),
+                SyntheticTriplets(cfg.synthetic_val_size, cfg.image_size,
+                                  cfg.n_classes, seed=cfg.seed + 1))
+    raise ValueError(f"Invalid dataset {cfg.dataset!r}")
+
+
 __all__ = ["build_triplet_index", "SyntheticTriplets", "CityscapesTriplets",
-           "HostLoader", "ShardedLoader"]
+           "HostLoader", "ShardedLoader", "get_dataset"]

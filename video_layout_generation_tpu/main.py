@@ -24,10 +24,11 @@ import jax
 
 from .config import Config, config_from_args, default_exp_path
 from .io.logging import get_logger
-from .parallel.mesh import is_primary
+from .parallel.mesh import is_primary, maybe_initialize_distributed
 
 
 def run(cfg: Config) -> None:
+    maybe_initialize_distributed()
     if cfg.path is None:
         cfg = cfg.replace(path=default_exp_path())
     pathlib.Path(cfg.path).mkdir(parents=True, exist_ok=True)

@@ -9,6 +9,8 @@ from .blocks import (CoordConv, CoordDownSamplingBlock, CoordLateralBlock,
                      CoordUpSamplingBlock, DownSamplingBlock, LateralBlock,
                      PReLU, UpSamplingBlock)
 from .discriminators import NLayerDiscriminator, PixelDiscriminator
+from .factories import define_D, define_G
+from .fast_gridnet import make_packed_gridnet_apply
 from .gridnet import CoordGridNet, GridNet
 from .hned import HNED, hned_fused_edge
 from .init import get_initializer
@@ -40,6 +42,7 @@ def get_model_cls(name: str):
 
 
 __all__ = list(_REGISTRY) + [
+    "define_G", "define_D", "make_packed_gridnet_apply",
     "get_model_cls", "get_initializer", "get_norm_layer", "InstanceNorm",
     "hned_fused_edge", "PReLU", "LateralBlock", "DownSamplingBlock",
     "UpSamplingBlock", "CoordConv", "CoordLateralBlock",

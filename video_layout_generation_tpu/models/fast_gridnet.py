@@ -107,17 +107,63 @@ def _up_to_packed(p, x):
         p["Conv_1"]["bias"])
 
 
+def _concat_packed(xp, cp, ci: int, cc: int):
+    """Concat packed tensors per phase: pack(concat(x, c)) from pack(x),
+    pack(c)."""
+    b, h, w, _ = xp.shape
+    x4 = xp.reshape(b, h, w, 4, ci)
+    c4 = cp.reshape(b, h, w, 4, cc)
+    return jnp.concatenate([x4, c4], axis=-1).reshape(b, h, w, 4 * (ci + cc))
+
+
+def _coords_packed(h2: int, w2: int, dtype):
+    """pack2x2 of the CoordConv coordinate channels at (h2, w2)
+    (ops/coords.py convention)."""
+    hh = (jax.lax.broadcasted_iota(jnp.float32, (h2, w2), 0)
+          / max(h2 - 1, 1)) * 2 - 1
+    ww = (jax.lax.broadcasted_iota(jnp.float32, (h2, w2), 1)
+          / max(w2 - 1, 1)) * 2 - 1
+    c = jnp.stack([hh, ww], axis=-1)[None].astype(dtype)  # (1, h2, w2, 2)
+    return pack2x2(c)
+
+
+def _coord_lateral_packed(p, xp, cp):
+    """CoordLateralBlock (reference src/models/modules.py:115-135) in packed
+    space: coords appended before every conv; no leading PReLU."""
+    dt = xp.dtype
+    ci = xp.shape[-1] // 4
+
+    def cconv(name, z, zc):
+        w = p[name]["Conv_0"]["kernel"]
+        return conv_packed3x3(
+            _concat_packed(z, cp, zc, 2),
+            pack_kernel3x3(w).astype(dt), p[name]["Conv_0"]["bias"])
+
+    y = cconv("CoordConv_0", xp, ci)
+    y = _prelu(y, p["PReLU_0"]["alpha"])
+    co = y.shape[-1] // 4
+    y = cconv("CoordConv_1", y, co)
+    if "CoordConv_2" in p:
+        y = y + cconv("CoordConv_2", xp, ci)
+    return y
+
+
 def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
-                              n_col: int = 6):
+                              n_col: int = 6, coord_in: bool = False):
     """Build ``apply(variables, x) -> (seg_logits, img)`` matching
-    ``GridNet.apply`` (plain GridNet, coord_in=False)."""
+    ``GridNet.apply`` (coord_in=True for CoordGridNet's input stem)."""
 
     def apply(variables, x):
         P = variables["params"]
         dt = dtype or x.dtype
         xp = pack2x2(x.astype(dt))
 
-        x0 = _lateral_packed(P["lateral_in"], xp)           # packed 256px row
+        if coord_in:
+            cp = _coords_packed(x.shape[1], x.shape[2], dt)
+            cp = jnp.broadcast_to(cp, (x.shape[0],) + cp.shape[1:])
+            x0 = _coord_lateral_packed(P["lateral_in"], xp, cp)
+        else:
+            x0 = _lateral_packed(P["lateral_in"], xp)       # packed 256px row
         x1 = _down_from_packed(P["down_00"], x0)            # 128px
         x2 = _down_std(P["down_10"], x1)                    # 64px
 

@@ -61,3 +61,16 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 def is_primary() -> bool:
     """Process-0 gating (reference's ``rank == 0``)."""
     return jax.process_index() == 0
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up: call jax.distributed.initialize() when the
+    standard coordinator env vars are present (the TPU-native successor to
+    the reference's NCCL TCP rendezvous, src/main.py:53-54). Single-host
+    runs are untouched. Returns True if initialization happened."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False

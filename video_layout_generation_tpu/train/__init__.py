@@ -5,11 +5,13 @@ from .state import TrainState, make_optimizer, current_lr, set_lr
 from .steps import make_train_step, make_eval_step
 from .rollout import make_rollout_fn
 from .trainer import Trainer
+from .experiment import ExperimentBase
+from .gan import GanTrainState, make_gan_train_step
 
 __all__ = [
     "IMAGENET_MEAN", "IMAGENET_STD", "OUT_MEAN", "OUT_STD",
     "assemble_model_input", "normalize_image", "denormalize_image",
     "normalize_model_output", "TrainState", "make_optimizer", "current_lr",
     "set_lr", "make_train_step", "make_eval_step", "make_rollout_fn",
-    "Trainer",
+    "Trainer", "ExperimentBase", "GanTrainState", "make_gan_train_step",
 ]

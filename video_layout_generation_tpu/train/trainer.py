@@ -131,6 +131,11 @@ class Trainer:
 
         # --- steps -------------------------------------------------------
         model_apply = self.model.apply
+        packed_ok = cfg.arch in ("GridNet", "CoordGridNet") and not cfg.remat
+        if cfg.fast_train and packed_ok:
+            from ..models.fast_gridnet import make_packed_gridnet_apply
+            model_apply = make_packed_gridnet_apply(
+                dtype=dtype, coord_in=(cfg.arch == "CoordGridNet"))
         hned_apply = self.hned.apply if self.hned is not None else None
         if cfg.gan_train:
             from .gan import make_gan_train_step
@@ -145,9 +150,10 @@ class Trainer:
             model_apply, hned_apply, self.combined,
             cfg.w_l1, cfg.w_style, cfg.w_seg)
         rollout_apply = model_apply
-        if cfg.fast_rollout and cfg.arch == "GridNet":
+        if cfg.fast_rollout and cfg.arch in ("GridNet", "CoordGridNet"):
             from ..models.fast_gridnet import make_packed_gridnet_apply
-            rollout_apply = make_packed_gridnet_apply(dtype=dtype)
+            rollout_apply = make_packed_gridnet_apply(
+                dtype=dtype, coord_in=(cfg.arch == "CoordGridNet"))
         self._rollout = make_rollout_fn(rollout_apply, hned_apply,
                                         n_frames=cfg.rollout_frames,
                                         use_edges=cfg.edge)
@@ -192,16 +198,8 @@ class Trainer:
         raise ValueError(f"unknown netD {cfg.netD!r}")
 
     def _default_datasets(self):
-        cfg = self.cfg
-        if cfg.dataset == "synthetic":
-            return (SyntheticTriplets(cfg.synthetic_train_size,
-                                      cfg.image_size, cfg.n_classes,
-                                      seed=cfg.seed),
-                    SyntheticTriplets(cfg.synthetic_val_size, cfg.image_size,
-                                      cfg.n_classes, seed=cfg.seed + 1))
-        from ..data.cityscapes import CityscapesTriplets
-        return (CityscapesTriplets(cfg.train_dir, cfg.image_size),
-                CityscapesTriplets(cfg.val_dir, cfg.image_size))
+        from ..data import get_dataset
+        return get_dataset(self.cfg)
 
     def _wrap_loader(self, dataset, shuffle: bool):
         host = HostLoader(dataset, self.cfg.batch_size, shuffle=shuffle,
@@ -254,10 +252,35 @@ class Trainer:
                                      timer.comp_time, loss))
                 self.writer.add_scalar("train/loss", loss, self.global_step)
                 for k in ("loss_l1", "loss_style", "loss_seg"):
-                    self.writer.add_scalar(f"train/{k}", float(metrics[k]),
-                                           self.global_step)
+                    if k in metrics:
+                        self.writer.add_scalar(
+                            f"train/{k}", float(metrics[k]),
+                            self.global_step)
+                if self.writer._w is not None:
+                    self._log_train_images(batch)
             else:
                 timer.mark_computed()
+
+    def _log_train_images(self, batch):
+        """TB image grids like the reference (src/trainer.py:282-286):
+        GT frame, generated frame, GT seg, predicted seg (colorized), and
+        the predicted-frame edge map."""
+        _, seg_ids, img_n = self._eval_step(self.model_params,
+                                            self.hned_params, batch)
+        step = self.global_step
+        self.writer.add_image("train/img gt", np.asarray(batch["img3"]),
+                              step)
+        self.writer.add_image("train/img",
+                              np.asarray(denormalize_image(img_n)), step)
+        self.writer.add_image("train/seg gt", np.asarray(
+            colorize_seg(batch["seg3"], self.cfg.n_classes)), step)
+        self.writer.add_image("train/seg", np.asarray(
+            colorize_seg(seg_ids, self.cfg.n_classes)), step)
+        if self.hned is not None:
+            edge = self.hned.apply(self.hned_params,
+                                   denormalize_image(img_n))[-1]
+            self.writer.add_image(
+                "train/edge", np.repeat(np.asarray(edge), 3, axis=-1), step)
 
     def validate(self) -> Dict[str, float]:
         self.logger.info("Validation started")
