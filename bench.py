@@ -61,11 +61,14 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0),
                                  jnp.zeros((1, HW, HW, 8), jnp.float32))
 
-    # packed (space-to-depth) executor: same params, exact computation,
-    # row-0 convs at full MXU width (see models/fast_gridnet.py)
-    fast_apply = make_packed_gridnet_apply(dtype=jnp.bfloat16)
-    ro = make_rollout_fn(fast_apply, None, n_frames=N_FRAMES,
-                         use_edges=False, jit=False)
+    # fully-packed rollout: the whole autoregressive loop (model, argmax
+    # feedback, input assembly) runs in space-to-depth space; seeds pack
+    # once, outputs unpack once (models/fast_gridnet.py)
+    from video_layout_generation_tpu.models.fast_gridnet import (
+        make_packed_rollout_fn)
+    ro_packed = make_packed_rollout_fn(n_frames=N_FRAMES,
+                                       dtype=jnp.bfloat16, jit=False)
+    ro = lambda p, _hp, a, b, c, d: ro_packed(p, a, b, c, d)
     # device-side reduction -> sync by fetching one scalar
     fn = jax.jit(lambda p, a, b, c, d: jax.tree_util.tree_map(
         lambda t: t.sum(), ro(p, None, a, b, c, d)))

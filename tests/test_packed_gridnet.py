@@ -106,3 +106,28 @@ def test_packed_gridnet_grads_match_flax():
                     jax.tree_util.tree_leaves(g_fast)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=1e-3)
+
+
+def test_fully_packed_rollout_matches_standard():
+    from video_layout_generation_tpu.models.fast_gridnet import (
+        make_packed_rollout_fn)
+    from video_layout_generation_tpu.train.rollout import make_rollout_fn
+
+    model = GridNet(n_channels=8, filters_level=(4, 6, 8))
+    rng = np.random.default_rng(6)
+    h = w = 16
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, h, w, 8)))
+    img1 = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+    seg1 = jnp.asarray(rng.integers(0, 20, (2, h, w, 1)).astype(np.float32))
+    seg2 = jnp.asarray(rng.integers(0, 20, (2, h, w, 1)).astype(np.float32))
+
+    ref_ro = make_rollout_fn(model.apply, None, n_frames=3, use_edges=False)
+    imgs_ref, segs_ref = ref_ro(variables, None, img1, img2, seg1, seg2)
+    fast_ro = make_packed_rollout_fn(n_frames=3, dtype=jnp.float32)
+    imgs, segs = fast_ro(variables, img1, img2, seg1, seg2)
+
+    np.testing.assert_allclose(np.asarray(imgs), np.asarray(imgs_ref),
+                               atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(segs), np.asarray(segs_ref))

@@ -19,6 +19,8 @@ from .legacy import (EncoderDecoder, Simple, UNet, simple29_encoderdecoder,
 from .norms import InstanceNorm, get_norm_layer
 from .resnet_gen import ResnetBlock, ResnetGenerator
 from .unet_gen import UnetGenerator, UnetSkipBlock
+from .vae import LayoutCVAE, LayoutVAE, make_cvae_rollout
+from .convlstm import ConvLSTMCell, ConvLSTMLayoutPredictor
 
 _REGISTRY = {
     "GridNet": GridNet,
@@ -28,6 +30,9 @@ _REGISTRY = {
     "NLayerDiscriminator": NLayerDiscriminator,
     "PixelDiscriminator": PixelDiscriminator,
     "HNED": HNED,
+    "LayoutVAE": LayoutVAE,
+    "LayoutCVAE": LayoutCVAE,
+    "ConvLSTMLayoutPredictor": ConvLSTMLayoutPredictor,
     "UNet": UNet,
     "EncoderDecoder": EncoderDecoder,
     "simple29_unet": simple29_unet,
@@ -43,6 +48,7 @@ def get_model_cls(name: str):
 
 __all__ = list(_REGISTRY) + [
     "define_G", "define_D", "make_packed_gridnet_apply",
+    "make_cvae_rollout", "ConvLSTMCell",
     "get_model_cls", "get_initializer", "get_norm_layer", "InstanceNorm",
     "hned_fused_edge", "PReLU", "LateralBlock", "DownSamplingBlock",
     "UpSamplingBlock", "CoordConv", "CoordLateralBlock",

@@ -187,3 +187,93 @@ def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
         return seg.astype(jnp.float32), img.astype(jnp.float32)
 
     return apply
+
+
+def make_packed_rollout_fn(n_frames: int = 8,
+                           dtype: Optional[Dtype] = jnp.bfloat16,
+                           coord_in: bool = False, n_col: int = 6,
+                           jit: bool = True):
+    """Fully-packed autoregressive rollout (8-channel contract,
+    train/rollout.py semantics): the feedback loop — argmax layout, output
+    normalization, next-input assembly — stays in packed space, so the scan
+    body never round-trips through the 256px layout. Seeds pack once;
+    results unpack once at the end.
+
+    Returns rollout(variables, img1, img2, seg1, seg2) ->
+      imgs (N, T, H, W, 3) normalized, segs (N, T, H, W, 1) float ids.
+    """
+    from ..train.assemble import OUT_MEAN, OUT_STD
+
+    # run the grid on an already-packed input and emit packed heads
+    def core_packed(P, xp, cp):
+        dt = dtype or xp.dtype
+        if coord_in:
+            x0 = _coord_lateral_packed(P["lateral_in"], xp, cp)
+        else:
+            x0 = _lateral_packed(P["lateral_in"], xp)
+        x1 = _down_from_packed(P["down_00"], x0)
+        x2 = _down_std(P["down_10"], x1)
+        for i in range(1, n_col):
+            C = P[f"col_{i}"]
+            if i < n_col / 2:
+                x0 = _lateral_packed(C[f"lateral_0{i-1}"], x0)
+                x1 = (_down_from_packed(C[f"down_0{i}"], x0)
+                      + _lateral_std(C[f"lateral_1{i-1}"], x1))
+                x2 = (_down_std(C[f"down_1{i}"], x1)
+                      + _lateral_std(C[f"lateral_2{i-1}"], x2))
+            else:
+                x2 = _lateral_std(C[f"lateral_2{i-1}"], x2)
+                x1 = (_up_std(C[f"up_1{i}"], x2)
+                      + _lateral_std(C[f"lateral_1{i-1}"], x1))
+                x0 = (_up_to_packed(C[f"up_0{i}"], x1)
+                      + _lateral_packed(C[f"lateral_0{i-1}"], x0))
+        segp = _lateral_packed(P["lateral_out_seg"], x0)   # (.., 4*seg_out)
+        imgp = _lateral_packed(P["lateral_out_img"], x0)   # (.., 4*3)
+        return segp, imgp
+
+    def rollout(variables, img1, img2, seg1, seg2):
+        P = variables["params"]
+        dt = dtype or img1.dtype
+        n, h, w, _ = img1.shape
+        cp = None
+        if coord_in:
+            cp = _coords_packed(h, w, dt)
+            cp = jnp.broadcast_to(cp, (n,) + cp.shape[1:])
+        mean = jnp.tile(jnp.asarray(OUT_MEAN, jnp.float32), 4)
+        std = jnp.tile(jnp.asarray(OUT_STD, jnp.float32), 4)
+
+        def to_p(x):
+            return pack2x2(x.astype(dt))
+
+        def step(carry, _):
+            f_old, f_new, s_old, s_new = carry          # all packed
+            # phase-interleaved concat [seg_old, img_old, img_new, seg_new]
+            b, hh, ww, _ = f_old.shape
+            parts = (s_old.reshape(b, hh, ww, 4, 1),
+                     f_old.reshape(b, hh, ww, 4, 3),
+                     f_new.reshape(b, hh, ww, 4, 3),
+                     s_new.reshape(b, hh, ww, 4, 1))
+            xp = jnp.concatenate(parts, axis=-1).reshape(b, hh, ww, 32)
+            segp, imgp = core_packed(P, xp, cp)
+            # per-phase output normalization (OUT affine) in packed space
+            imgp = ((imgp.astype(jnp.float32) - mean) / std).astype(dt)
+            # per-phase argmax over the seg_out classes
+            seg_out = segp.shape[-1] // 4
+            ids = jnp.argmax(
+                segp.reshape(b, hh, ww, 4, seg_out).astype(jnp.float32),
+                axis=-1)
+            segp_next = ids.reshape(b, hh, ww, 4).astype(dt)
+            return (f_new, imgp, s_new, segp_next), (imgp, segp_next)
+
+        carry0 = (to_p(img1), to_p(img2), to_p(seg1), to_p(seg2))
+        _, (imgs_p, segs_p) = jax.lax.scan(step, carry0, None,
+                                           length=n_frames)
+        # (T, N, hh, ww, pc) -> unpack -> (N, T, H, W, c)
+        t = imgs_p.shape[0]
+        imgs = unpack2x2(imgs_p.reshape((t * n,) + imgs_p.shape[2:]))
+        segs = unpack2x2(segs_p.reshape((t * n,) + segs_p.shape[2:]))
+        imgs = imgs.reshape(t, n, h, w, 3).astype(jnp.float32)
+        segs = segs.reshape(t, n, h, w, 1).astype(jnp.float32)
+        return jnp.moveaxis(imgs, 0, 1), jnp.moveaxis(segs, 0, 1)
+
+    return jax.jit(rollout) if jit else rollout

@@ -149,14 +149,26 @@ class Trainer:
         self._eval_step = make_eval_step(
             model_apply, hned_apply, self.combined,
             cfg.w_l1, cfg.w_style, cfg.w_seg)
-        rollout_apply = model_apply
-        if cfg.fast_rollout and cfg.arch in ("GridNet", "CoordGridNet"):
-            from ..models.fast_gridnet import make_packed_gridnet_apply
-            rollout_apply = make_packed_gridnet_apply(
-                dtype=dtype, coord_in=(cfg.arch == "CoordGridNet"))
-        self._rollout = make_rollout_fn(rollout_apply, hned_apply,
-                                        n_frames=cfg.rollout_frames,
-                                        use_edges=cfg.edge)
+        fast_ok = cfg.fast_rollout and cfg.arch in ("GridNet",
+                                                    "CoordGridNet")
+        if fast_ok and not cfg.edge:
+            # fully-packed loop (8ch contract): feedback stays in
+            # space-to-depth space for the whole scan
+            from ..models.fast_gridnet import make_packed_rollout_fn
+            packed_ro = make_packed_rollout_fn(
+                n_frames=cfg.rollout_frames, dtype=dtype,
+                coord_in=(cfg.arch == "CoordGridNet"))
+            self._rollout = (lambda p, hp, a, b, c, d:
+                             packed_ro(p, a, b, c, d))
+        else:
+            rollout_apply = model_apply
+            if fast_ok:
+                from ..models.fast_gridnet import make_packed_gridnet_apply
+                rollout_apply = make_packed_gridnet_apply(
+                    dtype=dtype, coord_in=(cfg.arch == "CoordGridNet"))
+            self._rollout = make_rollout_fn(rollout_apply, hned_apply,
+                                            n_frames=cfg.rollout_frames,
+                                            use_edges=cfg.edge)
 
         # --- data --------------------------------------------------------
         if dataset_train is None:
