@@ -25,7 +25,7 @@ import time
 
 import numpy as np
 
-BATCH = 16
+BATCH = 128
 N_FRAMES = 8
 HW = 256
 REPEATS = 3

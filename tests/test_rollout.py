@@ -42,3 +42,44 @@ def test_scan_rollout_matches_python_loop():
                                    np.asarray(fs[2 + t]), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(segs[:, t]),
                                       np.asarray(ss[2 + t]))
+
+
+def test_edge_rollout_carries_edges_consistently():
+    # with edges: the carried-edge optimization must equal recomputing both
+    # edges every step
+    from video_layout_generation_tpu.models import HNED
+    from video_layout_generation_tpu.train.assemble import (
+        denormalize_image)
+
+    h = w = 16
+    model = GridNet(n_channels=10, filters_level=(4, 6, 8))
+    hned = HNED()
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, h, w, 10)))
+    hp = jax.jit(hned.init)(jax.random.key(1), jnp.zeros((1, h, w, 3)))
+    rng = np.random.default_rng(1)
+    img1 = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32))
+    seg1 = jnp.asarray(rng.integers(0, 20, (1, h, w, 1)).astype(np.float32))
+    seg2 = jnp.asarray(rng.integers(0, 20, (1, h, w, 1)).astype(np.float32))
+
+    ro = make_rollout_fn(model.apply, hned.apply, n_frames=2,
+                         use_edges=True)
+    imgs, segs = ro(params, hp, img1, img2, seg1, seg2)
+
+    # naive loop recomputing both edges each step
+    fs, ss = [img1, img2], [seg1, seg2]
+    for _ in range(2):
+        e_old = hned.apply(hp, denormalize_image(fs[-2]))[-1]
+        e_new = hned.apply(hp, denormalize_image(fs[-1]))[-1]
+        x = assemble_model_input(ss[-2], fs[-2], fs[-1], ss[-1],
+                                 e_old, e_new)
+        logits, im = model.apply(params, x)
+        fs.append(normalize_model_output(im))
+        ss.append(jnp.argmax(logits, axis=-1)[..., None].astype(jnp.float32))
+
+    for t in range(2):
+        np.testing.assert_allclose(np.asarray(imgs[:, t]),
+                                   np.asarray(fs[2 + t]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(segs[:, t]),
+                                      np.asarray(ss[2 + t]))

@@ -42,22 +42,37 @@ def make_rollout_fn(model_apply: Callable,
         raise ValueError("use_edges=True requires hned_apply")
 
     def rollout(params, hned_params, img1, img2, seg1, seg2):
-        def step(carry, _):
-            f_old, f_new, s_old, s_new = carry
-            if use_edges:
-                e_old = hned_apply(hned_params, denormalize_image(f_old))[-1]
-                e_new = hned_apply(hned_params, denormalize_image(f_new))[-1]
-            else:
-                e_old = e_new = None
-            x = assemble_model_input(s_old, f_old, f_new, s_new,
-                                     e_old, e_new)
-            seg_logits, img = model_apply(params, x)
-            img_n = normalize_model_output(img)
-            seg_next = jnp.argmax(seg_logits, axis=-1)[..., None].astype(
-                jnp.float32)
-            return (f_new, img_n, s_new, seg_next), (img_n, seg_next)
+        def edge(f):
+            return hned_apply(hned_params, denormalize_image(f))[-1]
 
-        carry0 = (img1, img2, seg1, seg2)
+        if use_edges:
+            # edges carried through the scan: e_old(t+1) == e_new(t), so
+            # HNED runs once per generated frame instead of twice
+            def step(carry, _):
+                f_old, f_new, s_old, s_new, e_old, e_new = carry
+                x = assemble_model_input(s_old, f_old, f_new, s_new,
+                                         e_old, e_new)
+                seg_logits, img = model_apply(params, x)
+                img_n = normalize_model_output(img)
+                seg_next = jnp.argmax(seg_logits, axis=-1)[..., None].astype(
+                    jnp.float32)
+                e_next = edge(img_n)
+                return (f_new, img_n, s_new, seg_next, e_new, e_next), (
+                    img_n, seg_next)
+
+            carry0 = (img1, img2, seg1, seg2, edge(img1), edge(img2))
+        else:
+            def step(carry, _):
+                f_old, f_new, s_old, s_new = carry
+                x = assemble_model_input(s_old, f_old, f_new, s_new)
+                seg_logits, img = model_apply(params, x)
+                img_n = normalize_model_output(img)
+                seg_next = jnp.argmax(seg_logits, axis=-1)[..., None].astype(
+                    jnp.float32)
+                return (f_new, img_n, s_new, seg_next), (img_n, seg_next)
+
+            carry0 = (img1, img2, seg1, seg2)
+
         _, (imgs, segs) = jax.lax.scan(step, carry0, None, length=n_frames)
         # (T, N, ...) -> (N, T, ...)
         return (jnp.moveaxis(imgs, 0, 1), jnp.moveaxis(segs, 0, 1))

@@ -399,10 +399,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self):
-        """Full training run (reference worker loop, src/main.py:76-82)."""
+        """Full training run (reference worker loop, src/main.py:76-82);
+        honors ``val_interval`` (parsed but unused in the reference)."""
+        metrics = {}
         for epoch in range(self.cfg.epochs):
             self.set_epoch(epoch)
             self.train()
-            metrics = self.validate()
+            if (epoch + 1) % max(self.cfg.val_interval, 1) == 0:
+                metrics = self.validate()
             self.save_checkpoint(metrics)
         return metrics
