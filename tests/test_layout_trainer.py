@@ -1,0 +1,22 @@
+"""LayoutTrainer end-to-end over the three layout families (tiny)."""
+
+import numpy as np
+import pytest
+
+from video_layout_generation_tpu.config import Config
+from video_layout_generation_tpu.train.layout_trainer import LayoutTrainer
+
+
+@pytest.mark.parametrize("family", ["vae", "cvae", "convlstm"])
+def test_layout_trainer_families(family, tmp_path):
+    cfg = Config(dataset="synthetic", synthetic_train_size=8,
+                 synthetic_val_size=4, image_size=(16, 16), n_classes=8,
+                 batch_size=4, epochs=1, compute_dtype="float32",
+                 workers=1, path=str(tmp_path), mesh_shape=(1,),
+                 rollout_frames=2, lr=1e-3)
+    t = LayoutTrainer(cfg, family=family, latent_dim=8, hidden=8,
+                      kl_warmup_steps=10)
+    m = t.fit()
+    assert 0.0 <= m["miou"] <= 1.0
+    assert 0.0 <= m["pixel_acc"] <= 1.0
+    assert t.global_step == 2

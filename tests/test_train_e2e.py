@@ -68,3 +68,16 @@ def test_rollout_shapes(trainer):
     s = np.asarray(segs)
     np.testing.assert_array_equal(s, np.round(s))
     assert s.min() >= 0 and s.max() < 20
+
+
+def test_rollout_fidelity_eval(trainer):
+    from video_layout_generation_tpu.evaluation.sequence import (
+        evaluate_trainer_rollout)
+    from video_layout_generation_tpu.data.synthetic import SyntheticTriplets
+
+    ds = SyntheticTriplets(4, trainer.cfg.image_size,
+                           trainer.cfg.n_classes, seed=99)
+    out = evaluate_trainer_rollout(trainer, ds, [0, 1], n_frames=2)
+    assert out["per_step_miou"].shape == (2,)
+    assert 0.0 <= out["mean_miou"] <= 1.0
+    assert 0.0 <= out["mean_pixel_acc"] <= 1.0

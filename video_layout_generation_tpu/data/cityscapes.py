@@ -14,7 +14,7 @@ Decode backends, fastest available first:
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

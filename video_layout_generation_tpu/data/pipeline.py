@@ -15,8 +15,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import threading
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 import numpy as np

@@ -68,6 +68,17 @@ class SyntheticTriplets:
         img = np.clip(img * (0.7 + 0.3 * yy), 0.0, 1.0)
         return img, seg
 
+    def sequence(self, index: int, n_frames: int):
+        """Ground-truth (imgs, segs) for n_frames at stride spacing — used
+        by rollout fidelity evaluation (the scene is deterministic)."""
+        shapes = self._scene(index)
+        imgs, segs = [], []
+        for k in range(n_frames):
+            img, seg = self._render(shapes, k * self.stride)
+            imgs.append(img)
+            segs.append(seg)
+        return np.stack(imgs), np.stack(segs)
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         shapes = self._scene(index)
         out: Dict[str, np.ndarray] = {}

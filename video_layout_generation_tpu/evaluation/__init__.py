@@ -1,5 +1,7 @@
 from .metrics import confusion_matrix, iou_from_confusion, pixel_accuracy
 from .export import save_colorized_png, save_npy_stack
+from .sequence import evaluate_trainer_rollout, rollout_fidelity
 
 __all__ = ["confusion_matrix", "iou_from_confusion", "pixel_accuracy",
-           "save_colorized_png", "save_npy_stack"]
+           "save_colorized_png", "save_npy_stack", "rollout_fidelity",
+           "evaluate_trainer_rollout"]

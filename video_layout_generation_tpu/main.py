@@ -18,13 +18,12 @@ from __future__ import annotations
 
 import os
 import pathlib
-import sys
 
 import jax
 
 from .config import Config, config_from_args, default_exp_path
 from .io.logging import get_logger
-from .parallel.mesh import is_primary, maybe_initialize_distributed
+from .parallel.mesh import maybe_initialize_distributed
 
 
 def run(cfg: Config) -> None:

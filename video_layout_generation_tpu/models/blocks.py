@@ -15,7 +15,7 @@ the following conv rather than a gather.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

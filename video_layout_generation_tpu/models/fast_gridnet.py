@@ -15,8 +15,7 @@ exact re-indexing; parity is tested against ``GridNet.apply`` in fp32.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

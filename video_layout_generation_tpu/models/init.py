@@ -5,8 +5,6 @@ so they apply at module construction (no post-hoc mutation needed)."""
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 from jax.nn import initializers as I
 
 

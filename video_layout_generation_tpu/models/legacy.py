@@ -19,7 +19,7 @@ NHWC layout; BatchNorm threads flax ``batch_stats``.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

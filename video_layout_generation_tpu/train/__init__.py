@@ -7,6 +7,7 @@ from .rollout import make_rollout_fn
 from .trainer import Trainer
 from .experiment import ExperimentBase
 from .gan import GanTrainState, make_gan_train_step
+from .layout_trainer import LayoutTrainer
 
 __all__ = [
     "IMAGENET_MEAN", "IMAGENET_STD", "OUT_MEAN", "OUT_STD",
@@ -14,4 +15,5 @@ __all__ = [
     "normalize_model_output", "TrainState", "make_optimizer", "current_lr",
     "set_lr", "make_train_step", "make_eval_step", "make_rollout_fn",
     "Trainer", "ExperimentBase", "GanTrainState", "make_gan_train_step",
+    "LayoutTrainer",
 ]

@@ -17,7 +17,7 @@ from __future__ import annotations
 import abc
 import os
 from collections import OrderedDict
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import orbax.checkpoint as ocp

@@ -1,0 +1,177 @@
+"""Trainer for the layout-only model families (VAE / CVAE / ConvLSTM).
+
+Covers BASELINE.json configs 1-3 end to end: consumes the same triplet
+datasets as the main Trainer but uses only the segmentation streams,
+trains with the family's objective (KL-annealed where variational), and
+validates next-layout prediction with per-class IoU / pixel accuracy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.pipeline import HostLoader, ShardedLoader
+from ..evaluation.metrics import (confusion_matrix, iou_from_confusion,
+                                  pixel_accuracy)
+from ..io.checkpoint import CheckpointManager
+from ..io.logging import get_logger
+from ..models.convlstm import ConvLSTMLayoutPredictor
+from ..models.vae import LayoutCVAE, LayoutVAE, make_cvae_rollout
+from ..parallel.mesh import is_primary, make_mesh
+from .state import TrainState, make_optimizer
+from .vae_steps import (kl_anneal, make_convlstm_train_step,
+                        make_cvae_train_step, make_vae_train_step)
+
+
+class LayoutTrainer:
+    """family: 'vae' | 'cvae' | 'convlstm'."""
+
+    def __init__(self, cfg: Config, family: str = "cvae",
+                 latent_dim: int = 32, hidden: int = 64,
+                 kl_warmup_steps: int = 500, beta_max: float = 1.0,
+                 dataset_train=None, dataset_val=None):
+        self.cfg = cfg
+        self.family = family
+        self.kl_warmup = kl_warmup_steps
+        self.beta_max = beta_max
+        if cfg.path:
+            os.makedirs(cfg.path, exist_ok=True)
+        self.logger = get_logger(
+            os.path.join(cfg.path, "experiment.log") if cfg.path else None,
+            process=jax.process_index())
+        self.mesh = make_mesh(shape=cfg.mesh_shape)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        n_cls = cfg.n_classes
+        h, w = cfg.image_size
+        rng = jax.random.key(cfg.seed)
+
+        if family == "vae":
+            self.model = LayoutVAE(n_cls, latent_dim, dtype=dtype)
+            params = jax.jit(self.model.init)(
+                rng, jnp.zeros((1, h, w, n_cls)), jax.random.key(1))
+            self._step = make_vae_train_step(self.model, n_cls)
+        elif family == "cvae":
+            self.model = LayoutCVAE(n_cls, latent_dim, dtype=dtype)
+            params = jax.jit(self.model.init)(
+                rng, jnp.zeros((1, h, w, 2 * n_cls)),
+                jnp.zeros((1, h, w, n_cls)), jax.random.key(1))
+            self._step = make_cvae_train_step(self.model, n_cls)
+            self._rollout = make_cvae_rollout(self.model,
+                                              cfg.rollout_frames, n_cls)
+        elif family == "convlstm":
+            self.model = ConvLSTMLayoutPredictor(n_cls, hidden, dtype=dtype)
+            params = jax.jit(self.model.init)(
+                rng, jnp.zeros((1, 2, h, w, n_cls)))
+            self._step = make_convlstm_train_step(self.model, n_cls)
+        else:
+            raise ValueError(f"unknown layout family {family!r}")
+
+        tx = make_optimizer(cfg.optimizer, cfg.lr, max(cfg.beta1, 0.9))
+        self.state = TrainState.create(params, tx)
+        self.global_step = 0
+        self.epoch = 0
+        ckpt_dir = os.path.join(cfg.path, "checkpoint") if cfg.path else None
+        self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+
+        if dataset_train is None:
+            from ..data import get_dataset
+            dataset_train, dataset_val = get_dataset(cfg)
+        mk = lambda ds, sh: ShardedLoader(
+            HostLoader(ds, cfg.batch_size, shuffle=sh, seed=cfg.seed,
+                       workers=cfg.workers,
+                       process_index=jax.process_index(),
+                       process_count=jax.process_count()), self.mesh)
+        self.train_loader = mk(dataset_train, True)
+        self.val_loader = mk(dataset_val, False)
+
+        # prediction fn for validation (argmax next layout)
+        if family == "vae":
+            # autoencode seg3
+            self._predict = jax.jit(lambda p, b, k: jnp.argmax(
+                self.model.apply(p, jax.nn.one_hot(b["seg3"], n_cls),
+                                 k)[0], axis=-1))
+        elif family == "cvae":
+            def pred(p, b, k):
+                ctx = jnp.concatenate(
+                    [jax.nn.one_hot(b["seg1"][..., 0].astype(jnp.int32),
+                                    n_cls),
+                     jax.nn.one_hot(b["seg2"][..., 0].astype(jnp.int32),
+                                    n_cls)], axis=-1)
+                logits = self.model.apply(p, ctx, k,
+                                          method=LayoutCVAE.generate)
+                return jnp.argmax(logits, axis=-1)
+            self._predict = jax.jit(pred)
+        else:
+            def pred(p, b, k):
+                ctx = jnp.stack(
+                    [b["seg1"][..., 0], b["seg2"][..., 0]],
+                    axis=1).astype(jnp.int32)
+                logits = self.model.apply(p, jax.nn.one_hot(ctx, n_cls))
+                return jnp.argmax(logits, axis=-1)
+            self._predict = jax.jit(pred)
+
+    # ------------------------------------------------------------------
+    def _ctx_target(self, batch):
+        ctx = jnp.stack([batch["seg1"][..., 0], batch["seg2"][..., 0]],
+                        axis=1).astype(jnp.int32)
+        return ctx, batch["seg3"].astype(jnp.int32)
+
+    def train_epoch(self) -> Dict[str, float]:
+        self.train_loader.set_epoch(self.epoch)
+        metrics = {}
+        for batch in self.train_loader:
+            self.global_step += 1
+            rng = jax.random.fold_in(jax.random.key(self.cfg.seed),
+                                     self.global_step)
+            beta = kl_anneal(self.global_step, self.kl_warmup,
+                             self.beta_max)
+            if self.family == "vae":
+                self.state, metrics = self._step(
+                    self.state, batch["seg3"].astype(jnp.int32), rng, beta)
+            elif self.family == "cvae":
+                ctx, tgt = self._ctx_target(batch)
+                self.state, metrics = self._step(self.state, ctx, tgt, rng,
+                                                 beta)
+            else:
+                ctx, tgt = self._ctx_target(batch)
+                self.state, metrics = self._step(self.state, ctx, tgt)
+        self.epoch += 1
+        out = {k: float(v) for k, v in metrics.items()}
+        if is_primary():
+            self.logger.info("[layout/%s] epoch %d %s" % (
+                self.family, self.epoch,
+                " ".join(f"{k}={v:.4f}" for k, v in out.items())))
+        return out
+
+    def validate(self) -> Dict[str, float]:
+        cm_total = None
+        for i, batch in enumerate(self.val_loader):
+            pred = self._predict(self.state.params, batch,
+                                 jax.random.fold_in(
+                                     jax.random.key(self.cfg.seed + 1), i))
+            cm = confusion_matrix(pred, batch["seg3"].astype(jnp.int32),
+                                  self.cfg.n_classes)
+            cm_total = cm if cm_total is None else cm_total + cm
+        iou, miou = iou_from_confusion(np.asarray(cm_total))
+        acc = pixel_accuracy(np.asarray(cm_total))
+        if is_primary():
+            self.logger.info("[layout/%s] val mIoU %.4f pixAcc %.4f" % (
+                self.family, miou, acc))
+        return {"miou": miou, "pixel_acc": acc, "per_class_iou": iou}
+
+    def fit(self):
+        metrics = {}
+        for _ in range(self.cfg.epochs):
+            self.train_epoch()
+            metrics = self.validate()
+            if self.ckpt is not None and is_primary():
+                self.ckpt.save(self.epoch, self.state.params,
+                               self.state.opt_state, self.global_step,
+                               f"layout_{self.family}")
+        return metrics

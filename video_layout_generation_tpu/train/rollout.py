@@ -16,7 +16,7 @@ intent); ``use_edges=False`` reproduces the literal 8-channel layout.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,16 +16,15 @@ better augmentation).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..losses.ce import cross_entropy_loss
 from ..losses.pixel import l1_loss
-from .assemble import (assemble_model_input, denormalize_image,
-                       normalize_image, normalize_model_output)
+from .assemble import (assemble_model_input, normalize_image,
+                       normalize_model_output)
 from .state import TrainState
 
 

@@ -27,7 +27,6 @@ import numpy as np
 
 from ..config import Config
 from ..data.pipeline import HostLoader, ShardedLoader
-from ..data.synthetic import SyntheticTriplets
 from ..evaluation.export import save_npy_stack
 from ..evaluation.metrics import (confusion_matrix, iou_from_confusion,
                                   pixel_accuracy)

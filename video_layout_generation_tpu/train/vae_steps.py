@@ -8,8 +8,6 @@ recompilation; ``kl_anneal`` provides the standard linear warmup.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 
