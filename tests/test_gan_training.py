@@ -46,3 +46,18 @@ def test_gan_validate_and_checkpoint(gan_trainer):
     for a, b in zip(jax.tree_util.tree_leaves(t.state.disc.params),
                     jax.tree_util.tree_leaves(t2.state.disc.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wgangp_step_with_gradient_penalty(tmp_path):
+    # the wgangp branch runs the double-grad (penalty) inside the fused step
+    cfg = Config(
+        dataset="synthetic", synthetic_train_size=4, synthetic_val_size=4,
+        image_size=(16, 16), batch_size=4, epochs=1, edge=False,
+        filters_level=(2, 3, 4), compute_dtype="float32", workers=1,
+        path=str(tmp_path), mesh_shape=(1,), gan_train=True,
+        gan_mode="wgangp", ndf=4, rollout_frames=1,
+    )
+    t = Trainer(cfg)
+    t.set_epoch(0)
+    t.train()
+    assert t.global_step == 1

@@ -1,0 +1,47 @@
+"""Serving predictor: checkpoint load -> padded batched rollout."""
+
+import numpy as np
+import pytest
+
+from video_layout_generation_tpu.config import Config
+from video_layout_generation_tpu.serving import LayoutPredictor
+from video_layout_generation_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("serve_exp"))
+    cfg = Config(dataset="synthetic", synthetic_train_size=4,
+                 synthetic_val_size=4, image_size=(32, 32), batch_size=4,
+                 epochs=1, edge=False, arch="GridNet",
+                 filters_level=(4, 6, 8), compute_dtype="float32",
+                 workers=1, path=path, mesh_shape=(1,), rollout_frames=2)
+    t = Trainer(cfg)
+    t.epoch = 1
+    t.save_checkpoint()
+    import os
+    return os.path.join(path, "checkpoint", "001")
+
+
+def test_predict_pads_and_returns_ranges(ckpt_path):
+    pred = LayoutPredictor.from_checkpoint(
+        ckpt_path, arch="GridNet", n_frames=2, batch=4,
+        image_hw=(32, 32), filters_level=(4, 6, 8), use_bf16=False)
+    rng = np.random.default_rng(0)
+    img = rng.random((3, 32, 32, 3)).astype(np.float32)   # n=3 < batch=4
+    seg = rng.integers(0, 20, (3, 32, 32))
+    frames, layouts = pred.predict(img, img, seg, seg)
+    assert frames.shape == (3, 2, 32, 32, 3)
+    assert layouts.shape == (3, 2, 32, 32)
+    assert frames.min() >= 0.0 and frames.max() <= 1.0
+    assert layouts.dtype == np.int32 and layouts.max() < 20
+
+
+def test_predict_rejects_oversized_batch(ckpt_path):
+    pred = LayoutPredictor.from_checkpoint(
+        ckpt_path, arch="GridNet", n_frames=1, batch=2,
+        image_hw=(32, 32), filters_level=(4, 6, 8), use_bf16=False)
+    img = np.zeros((3, 32, 32, 3), np.float32)
+    seg = np.zeros((3, 32, 32), np.int32)
+    with pytest.raises(ValueError, match="shard the request"):
+        pred.predict(img, img, seg, seg)

@@ -344,6 +344,8 @@ class Trainer:
 
     def load_checkpoint(self, resume: str):
         self.logger.info("Resuming checkpoint %s" % resume)
+        if resume == "latest" and self.ckpt is not None:
+            resume = os.path.join(self.ckpt.directory, "latest")
         tree = CheckpointManager.restore_path(resume, arch=self.cfg.arch)
         self.epoch = int(tree["epoch"])
         self.global_step = int(tree.get("step", 0))
