@@ -45,7 +45,25 @@ def _load_baseline() -> float:
         return float(json.load(f)["frames_per_sec"])
 
 
+def _arm_watchdog(seconds: int = 2400):
+    """The tunneled TPU can wedge (device RPCs never return and
+    block_until_ready is a no-op); fail loudly instead of hanging the
+    harness."""
+    import signal
+
+    def _abort(signum, frame):
+        print(json.dumps({
+            "metric": "layout rollout frames/sec/chip",
+            "value": None, "unit": "frames/sec/chip", "vs_baseline": None,
+            "error": f"TPU unresponsive for {seconds}s (tunnel wedged)"}))
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _abort)
+    signal.alarm(seconds)
+
+
 def main():
+    _arm_watchdog()
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(_REPO, ".jax_cache"))

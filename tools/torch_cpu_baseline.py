@@ -131,7 +131,59 @@ def measure(n_frames=8, batch=1, repeats=3, warmup=1):
             "workload": "8ch GridNet autoregressive rollout, fp32 CPU"}
 
 
+def measure_train(batch=2, repeats=2, hw=256):
+    """Reference-equivalent training step on CPU: GridNet fwd + 3-term loss
+    (L1 + VGG-feature/SSIM/gradient-style perceptual stand-in + CE) + bwd +
+    Adam. VGG19 runs with random weights (offline env) — throughput is
+    weight-independent."""
+    import torch.nn as nn
+    torch.set_num_threads(os.cpu_count() or 1)
+    P = build_params(in_ch=10)
+    params = []
+    for lst in P.values():
+        for grp in lst:
+            for t in grp[:2]:
+                t.requires_grad_(True)
+                params.append(t)
+    # VGG19 features through relu4_4 (random weights; offline env —
+    # throughput is weight-independent)
+    widths = [(3, 64), (64, 64), "M", (64, 128), (128, 128), "M",
+              (128, 256), (256, 256), (256, 256), (256, 256), "M",
+              (256, 512), (512, 512), (512, 512), (512, 512)]
+    layers = []
+    for wdt in widths:
+        if wdt == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(wdt[0], wdt[1], 3, padding=1), nn.ReLU()]
+    vgg = nn.Sequential(*layers).eval()
+    opt = torch.optim.Adam(params, lr=2e-4, betas=(0.5, 0.999))
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(rng.random((batch, 10, hw, hw)).astype(np.float32))
+    f3 = torch.from_numpy(rng.random((batch, 3, hw, hw)).astype(np.float32))
+    s3 = torch.from_numpy(rng.integers(0, 20, (batch, hw, hw)))
+    ts = []
+    for i in range(repeats + 1):
+        t0 = time.perf_counter()
+        seg, img = forward(P, x)
+        loss = 40 * F.l1_loss(img, f3)
+        loss = loss + 20 * (vgg(img) - vgg(f3)).abs().mean()
+        loss = loss + 10 * F.cross_entropy(seg, s3)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if i:  # skip warmup
+            ts.append(time.perf_counter() - t0)
+    sec = min(ts)
+    return {"train_samples_per_sec": batch / sec, "batch": batch,
+            "seconds_per_step": sec}
+
+
 if __name__ == "__main__":
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        print(json.dumps(measure_train()))
+        raise SystemExit
     out = measure()
     path = os.path.join(os.path.dirname(__file__), "..", "BASELINE_CPU.json")
     with open(os.path.abspath(path), "w") as f:
