@@ -48,18 +48,23 @@ def _load_baseline() -> float:
 def _arm_watchdog(seconds: int = 2400):
     """The tunneled TPU can wedge (device RPCs never return and
     block_until_ready is a no-op); fail loudly instead of hanging the
-    harness."""
-    import signal
+    harness. A daemon timer thread is used because the main thread blocks
+    inside a native RPC call where signal handlers never run."""
+    import threading
 
-    def _abort(signum, frame):
-        print(json.dumps({
+    def _abort():
+        sys.stdout.write(json.dumps({
             "metric": "layout rollout frames/sec/chip",
             "value": None, "unit": "frames/sec/chip", "vs_baseline": None,
-            "error": f"TPU unresponsive for {seconds}s (tunnel wedged)"}))
+            "error": f"TPU unresponsive for {seconds}s (tunnel wedged)"})
+            + "\n")
+        sys.stdout.flush()
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, _abort)
-    signal.alarm(seconds)
+    t = threading.Timer(seconds, _abort)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def main():
