@@ -1,0 +1,94 @@
+"""Train-step details: flip augmentation semantics, checkpoint alias."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_layout_generation_tpu.io.checkpoint import CheckpointManager
+from video_layout_generation_tpu.losses.combined import CombinedLoss
+from video_layout_generation_tpu.models import GridNet
+from video_layout_generation_tpu.train.state import TrainState, make_optimizer
+from video_layout_generation_tpu.train.steps import make_train_step
+
+
+def _batch(n=2, h=16, w=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "img1": rng.random((n, h, w, 3), np.float32),
+        "img2": rng.random((n, h, w, 3), np.float32),
+        "img3": rng.random((n, h, w, 3), np.float32),
+        "seg1": rng.integers(0, 20, (n, h, w, 1)).astype(np.float32),
+        "seg2": rng.integers(0, 20, (n, h, w, 1)).astype(np.float32),
+        "seg3": rng.integers(0, 20, (n, h, w)).astype(np.int32),
+    }
+
+
+def test_flip_is_loss_invariant_for_symmetric_model():
+    """Flipping inputs AND targets together must give the same loss as not
+    flipping when the model itself is applied to flipped inputs — i.e. the
+    flip plumbing flips every tensor consistently. We check consistency by
+    fixing the coin via rng choice: two rngs with opposite coins give
+    different losses on an asymmetric batch, same params."""
+    model = GridNet(n_channels=8, filters_level=(2, 3, 4))
+    combined = CombinedLoss.create(image_hw=(16, 16))
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, 16, 16, 8)))
+    step = make_train_step(model.apply, None, combined, donate=False)
+    batch = jax.tree_util.tree_map(jnp.asarray, _batch())
+    tx = make_optimizer()
+    # find rngs with opposite coin outcomes
+    r_noflip = r_flip = None
+    for i in range(20):
+        k = jax.random.key(i)
+        if bool(jax.random.bernoulli(k)):
+            r_flip = r_flip or k
+        else:
+            r_noflip = r_noflip or k
+        if r_flip is not None and r_noflip is not None:
+            break
+    s0 = TrainState.create(params, tx)
+    _, m_no = step(s0, None, batch, r_noflip)
+    # manually flip the whole batch; running the no-flip coin on the flipped
+    # batch must equal running the flip coin on the original batch
+    flipped = {k: (np.flip(v, axis=-2) if v.ndim == 4 else
+                   np.flip(v, axis=-1))
+               for k, v in _batch().items()}
+    flipped = jax.tree_util.tree_map(jnp.asarray, flipped)
+    s1 = TrainState.create(params, tx)
+    _, m_flip_orig = step(s1, None, batch, r_flip)
+    s2 = TrainState.create(params, tx)
+    _, m_noflip_flipped = step(s2, None, flipped, r_noflip)
+    # mirrored data changes fp reduction order; ~1e-4 relative is noise
+    assert abs(float(m_flip_orig["loss"])
+               - float(m_noflip_flipped["loss"])) < 0.05
+    # and flipping actually changes the loss vs not flipping
+    assert abs(float(m_no["loss"]) - float(m_flip_orig["loss"])) > 0.05
+
+
+def test_per_example_flip_mode_runs():
+    model = GridNet(n_channels=8, filters_level=(2, 3, 4))
+    combined = CombinedLoss.create(image_hw=(16, 16))
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, 16, 16, 8)))
+    step = make_train_step(model.apply, None, combined,
+                           flip_mode="per_example", donate=False)
+    batch = jax.tree_util.tree_map(jnp.asarray, _batch(n=4))
+    st = TrainState.create(params, make_optimizer())
+    st, m = step(st, None, batch, jax.random.key(3))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_checkpoint_latest_alias(tmp_path):
+    cm = CheckpointManager(str(tmp_path))
+    params = {"w": jnp.arange(4.0)}
+    cm.save(3, params, {"opt": jnp.zeros(1)}, step=30, arch="GridNet")
+    tree = cm.restore("latest", arch="GridNet")
+    assert tree["epoch"] == 3 and tree["step"] == 30
+    np.testing.assert_array_equal(np.asarray(tree["params"]["w"]),
+                                  np.arange(4.0))
+    # overwrite with a newer epoch; latest follows
+    cm.save(4, {"w": jnp.ones(4)}, {"opt": jnp.zeros(1)}, step=40,
+            arch="GridNet")
+    assert cm.restore("latest")["epoch"] == 4
