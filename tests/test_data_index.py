@@ -54,3 +54,25 @@ def test_multi_snippet_and_city(tmp_path):
     _make_tree(str(tmp_path), "c1", 1, range(12))
     _make_tree(str(tmp_path), "c2", 0, range(12))
     assert len(build_triplet_index(str(tmp_path))) == 15
+
+
+def test_cityscapes_sequences_windows(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+    root = str(tmp_path)
+    seg_dir = os.path.join(root, "deeplab256_label", "x")
+    img_dir = os.path.join(root, "leftImg256", "x")
+    os.makedirs(seg_dir)
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(0)
+    for f in range(16):
+        stem = f"x_{0:06d}_{f:06d}"
+        cv2.imwrite(os.path.join(seg_dir, stem + SEG_SUFFIX),
+                    rng.integers(0, 20, (32, 32), np.uint8))
+        cv2.imwrite(os.path.join(img_dir, stem + IMG_SUFFIX),
+                    rng.integers(0, 256, (32, 32, 3), np.uint8))
+    from video_layout_generation_tpu.data import CityscapesSequences
+    ds = CityscapesSequences(root, n_frames=5, image_hw=(32, 32))
+    imgs, segs = ds.sequence(0, 4)
+    assert imgs.shape == (4, 32, 32, 3)
+    assert segs.shape == (4, 32, 32) and segs.dtype == np.int32

@@ -1,6 +1,6 @@
 from .index import build_triplet_index
 from .synthetic import SyntheticTriplets
-from .cityscapes import CityscapesTriplets
+from .cityscapes import CityscapesSequences, CityscapesTriplets
 from .pipeline import HostLoader, ShardedLoader
 
 
@@ -19,4 +19,4 @@ def get_dataset(cfg):
 
 
 __all__ = ["build_triplet_index", "SyntheticTriplets", "CityscapesTriplets",
-           "HostLoader", "ShardedLoader", "get_dataset"]
+           "HostLoader", "ShardedLoader", "get_dataset", "CityscapesSequences"]

@@ -98,3 +98,42 @@ class CityscapesTriplets:
             "seg2": segs[1][..., None].astype(np.float32),
             "seg3": segs[2].astype(np.int32),
         }
+
+
+class CityscapesSequences(CityscapesTriplets):
+    """N-frame stride-3 windows for rollout fidelity evaluation
+    (evaluation/sequence.py): ``sequence(i, n)`` returns ground-truth
+    (imgs (n,H,W,3), segs (n,H,W)) so generated rollouts can be scored
+    against real futures."""
+
+    def __init__(self, root: str, n_frames: int = 10,
+                 image_hw: Tuple[int, int] = (256, 256),
+                 use_native: bool = True):
+        self.n_frames = n_frames
+        from .index import build_triplet_index
+        self.samples = build_triplet_index(root, stride=3,
+                                           n_frames=n_frames)
+        if not self.samples:
+            raise RuntimeError(
+                f"Found 0 {n_frames}-frame windows under {root}")
+        self.hw = tuple(image_hw)
+        self._native = None
+        if use_native and NativeImageLoader is not None:
+            try:
+                self._native = NativeImageLoader()
+            except Exception:
+                self._native = None
+
+    def sequence(self, index: int, n_frames: int):
+        seg_paths, img_paths = self.samples[index]
+        n = min(n_frames, len(img_paths))
+        if self._native is not None:
+            imgs = [self._native.load_rgb(p, self.hw)
+                    for p in img_paths[:n]]
+            segs = [self._native.load_gray(p, self.hw)
+                    for p in seg_paths[:n]]
+        else:
+            imgs = [_load_rgb(p, self.hw) for p in img_paths[:n]]
+            segs = [_load_seg(p, self.hw) for p in seg_paths[:n]]
+        import numpy as _np
+        return _np.stack(imgs), _np.stack(segs).astype(_np.int32)

@@ -262,7 +262,8 @@ class Trainer:
                                      n_batches, timer.load_time,
                                      timer.comp_time, loss))
                 self.writer.add_scalar("train/loss", loss, self.global_step)
-                for k in ("loss_l1", "loss_style", "loss_seg"):
+                for k in ("loss_l1", "loss_style", "loss_seg", "loss_gan",
+                          "loss_d"):
                     if k in metrics:
                         self.writer.add_scalar(
                             f"train/{k}", float(metrics[k]),
