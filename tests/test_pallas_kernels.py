@@ -52,3 +52,33 @@ def test_instance_norm_pallas_grad_interpret(monkeypatch):
     g_got = jax.grad(lambda z: jnp.sum(m._instance_norm_p(z, 1e-5) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                atol=1e-4)
+
+
+def test_ssim_pallas_matches_xla_interpret(monkeypatch):
+    import functools
+    from jax.experimental import pallas as pl
+    from video_layout_generation_tpu.ops.pallas import ssim as m
+    from video_layout_generation_tpu.losses.ssim import ssim_loss
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    x = jnp.asarray(np.clip(_rand(2, 16, 16, 3, seed=7) * .2 + .5, 0, 1))
+    y = jnp.asarray(np.clip(_rand(2, 16, 16, 3, seed=8) * .2 + .5, 0, 1))
+    ours = float(m._ssim_pallas_fwd_impl(x, y))
+    ref = float(ssim_loss(x, y, use_pallas=False))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_ssim_pallas_grad_matches_xla(monkeypatch):
+    import functools
+    from jax.experimental import pallas as pl
+    from video_layout_generation_tpu.ops.pallas import ssim as m
+    from video_layout_generation_tpu.losses.ssim import ssim_loss
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    x = jnp.asarray(np.clip(_rand(1, 12, 12, 2, seed=9) * .2 + .5, 0, 1))
+    y = jnp.asarray(np.clip(_rand(1, 12, 12, 2, seed=10) * .2 + .5, 0, 1))
+    g_p = jax.grad(lambda a: m.ssim_loss_pallas(a, y))(x)
+    g_x = jax.grad(lambda a: ssim_loss(a, y, use_pallas=False))(x)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-5)

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Probe the tunneled TPU until it answers, then run the benchmark once.
+# (The tunnel can wedge server-side; see CLAUDE.md.)
+cd "$(dirname "$0")/.."
+for i in $(seq 1 80); do
+  if timeout 60 python -c "
+import jax, jax.numpy as jnp
+print('TPU_OK', float(jax.jit(lambda x: (x*2).sum())(jnp.ones((64,64)))))
+" 2>/dev/null | grep -q TPU_OK; then
+    echo "TPU RECOVERED at attempt $i ($(date))"
+    timeout 3000 python bench.py > /tmp/bench_after_recovery.json \
+        2>/tmp/bench_after_recovery.err
+    echo "bench after recovery:"
+    cat /tmp/bench_after_recovery.json
+    exit 0
+  fi
+  sleep 120
+done
+echo "TPU still wedged after 80 attempts ($(date))"
+exit 1

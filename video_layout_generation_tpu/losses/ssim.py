@@ -19,8 +19,24 @@ _C1 = 0.01 ** 2
 _C2 = 0.03 ** 2
 
 
-def ssim_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """x, y: (N, H, W, C). Returns scalar = sum over C of mean (1-SSIM)/2."""
+def _on_tpu() -> bool:
+    try:
+        import jax
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def ssim_loss(x: jnp.ndarray, y: jnp.ndarray,
+              use_pallas: bool = True) -> jnp.ndarray:
+    """x, y: (N, H, W, C). Returns scalar = sum over C of mean (1-SSIM)/2.
+
+    On TPU with VMEM-resident planes this dispatches to the fused Pallas
+    kernel (ops/pallas/ssim.py); identical math, one HBM pass."""
+    if use_pallas and x.ndim == 4 and _on_tpu():
+        from ..ops.pallas.ssim import plane_fits_vmem, ssim_loss_pallas
+        if plane_fits_vmem(x.shape):
+            return ssim_loss_pallas(x, y)
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     # Stack the 6 window statistics along channels -> one reduce_window pass.
