@@ -28,11 +28,13 @@ def _on_tpu() -> bool:
 
 
 def ssim_loss(x: jnp.ndarray, y: jnp.ndarray,
-              use_pallas: bool = True) -> jnp.ndarray:
+              use_pallas: bool = False) -> jnp.ndarray:
     """x, y: (N, H, W, C). Returns scalar = sum over C of mean (1-SSIM)/2.
 
-    On TPU with VMEM-resident planes this dispatches to the fused Pallas
-    kernel (ops/pallas/ssim.py); identical math, one HBM pass."""
+    use_pallas=True dispatches to the fused Pallas kernel on TPU
+    (ops/pallas/ssim.py; identical math, one HBM pass). Off by default
+    until hardware-validated — flip after running
+    tests/test_pallas_kernels.py on a real chip."""
     if use_pallas and x.ndim == 4 and _on_tpu():
         from ..ops.pallas.ssim import plane_fits_vmem, ssim_loss_pallas
         if plane_fits_vmem(x.shape):
