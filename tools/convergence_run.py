@@ -1,0 +1,61 @@
+"""Synthetic convergence demonstration on real hardware.
+
+Trains the full production config (HNED edges, bf16, packed executor) on
+the synthetic moving-layout dataset, where the next frame is exactly
+linearly predictable — validation mIoU should climb well above the random
+baseline within a few epochs, demonstrating the whole system learns.
+
+  python tools/convergence_run.py [--epochs 4] [--size 256] [--bs 16]
+
+Writes metrics to <path>/experiment.log and prints the final dict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--bs", type=int, default=16)
+    p.add_argument("--train_size", type=int, default=512)
+    p.add_argument("--val_size", type=int, default=64)
+    p.add_argument("--arch", default="GridNet")
+    p.add_argument("--path", default="/tmp/vlg_convergence")
+    p.add_argument("--no_edge", dest="edge", action="store_false")
+    args = p.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    from video_layout_generation_tpu.config import Config
+    from video_layout_generation_tpu.train import Trainer
+
+    cfg = Config(dataset="synthetic", synthetic_train_size=args.train_size,
+                 synthetic_val_size=args.val_size,
+                 image_size=(args.size, args.size), batch_size=args.bs,
+                 epochs=args.epochs, edge=args.edge, arch=args.arch,
+                 compute_dtype="bfloat16", workers=4, print_freq=8,
+                 path=args.path, mesh_shape=(1,), rollout_frames=8)
+    t = Trainer(cfg)
+    m = t.fit()
+    out = {k: round(float(v), 4) for k, v in m.items()
+           if not hasattr(v, "shape")}
+    print("FINAL:", out)
+
+    # rollout fidelity on held-out scenes
+    from video_layout_generation_tpu.data.synthetic import SyntheticTriplets
+    from video_layout_generation_tpu.evaluation import (
+        evaluate_trainer_rollout)
+    ds = SyntheticTriplets(8, cfg.image_size, cfg.n_classes, seed=4242)
+    fid = evaluate_trainer_rollout(t, ds, list(range(8)), n_frames=8)
+    print("ROLLOUT FIDELITY per-step mIoU:",
+          [round(float(v), 4) for v in fid["per_step_miou"]])
+    return out
+
+
+if __name__ == "__main__":
+    main()
