@@ -43,3 +43,13 @@ def pixel_accuracy(cm: np.ndarray) -> float:
     cm = np.asarray(cm, np.float64)
     total = cm.sum()
     return float(np.diag(cm).sum() / total) if total else 0.0
+
+
+def summarize_confusion(cm_total, n_classes: int):
+    """(per_class_iou, miou, pixel_acc) from an accumulated confusion
+    matrix; handles the empty-loader case (cm_total is None)."""
+    if cm_total is None:
+        return np.full(n_classes, np.nan), 0.0, 0.0
+    cm = np.asarray(cm_total)
+    iou, miou = iou_from_confusion(cm)
+    return iou, miou, pixel_accuracy(cm)

@@ -17,8 +17,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.pipeline import HostLoader, ShardedLoader
-from ..evaluation.metrics import (confusion_matrix, iou_from_confusion,
-                                  pixel_accuracy)
+from ..evaluation.metrics import confusion_matrix, summarize_confusion
 from ..io.checkpoint import CheckpointManager
 from ..io.logging import get_logger
 from ..models.convlstm import ConvLSTMLayoutPredictor
@@ -158,8 +157,7 @@ class LayoutTrainer:
             cm = confusion_matrix(pred, batch["seg3"].astype(jnp.int32),
                                   self.cfg.n_classes)
             cm_total = cm if cm_total is None else cm_total + cm
-        iou, miou = iou_from_confusion(np.asarray(cm_total))
-        acc = pixel_accuracy(np.asarray(cm_total))
+        iou, miou, acc = summarize_confusion(cm_total, self.cfg.n_classes)
         if is_primary():
             self.logger.info("[layout/%s] val mIoU %.4f pixAcc %.4f" % (
                 self.family, miou, acc))

@@ -28,8 +28,7 @@ import numpy as np
 from ..config import Config
 from ..data.pipeline import HostLoader, ShardedLoader
 from ..evaluation.export import save_npy_stack
-from ..evaluation.metrics import (confusion_matrix, iou_from_confusion,
-                                  pixel_accuracy)
+from ..evaluation.metrics import confusion_matrix, summarize_confusion
 from ..io.checkpoint import CheckpointManager
 from ..io.logging import get_logger
 from ..io.tb import SummaryWriter
@@ -315,8 +314,12 @@ class Trainer:
                                    np.asarray(denormalize_image(img_n)),
                                    np.asarray(colorize_seg(seg_ids)),
                                ], axis=-1)})
-        iou, miou = iou_from_confusion(np.asarray(cm_total))
-        acc = pixel_accuracy(np.asarray(cm_total))
+        if cm_total is None:  # empty loader (batch > dataset with drop_last)
+            self.logger.info("Validation loader produced no batches")
+        iou, miou, acc = summarize_confusion(cm_total, cfg.n_classes)
+        if cm_total is None:
+            return {"loss": float("nan"), "miou": miou, "pixel_acc": acc,
+                    "per_class_iou": iou}
         if is_primary():
             self.logger.info(
                 "Epoch [%d/%d] loss [%.4f] mIoU [%.4f] pixAcc [%.4f]" % (

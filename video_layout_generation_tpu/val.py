@@ -79,8 +79,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from .evaluation.export import save_colorized_png
-    from .evaluation.metrics import (confusion_matrix, iou_from_confusion,
-                                     pixel_accuracy)
+    from .evaluation.metrics import confusion_matrix, summarize_confusion
     from .models.legacy import Simple
 
     if args.data:
@@ -142,8 +141,7 @@ def main(argv=None):
                     eval_time))
         sys.stdout.flush()
 
-    iou, miou = iou_from_confusion(np.asarray(cm_total))
-    acc = pixel_accuracy(np.asarray(cm_total))
+    iou, miou, acc = summarize_confusion(cm_total, args.n_classes)
     print("\nper-class IoU:",
           " ".join("%.3f" % v if np.isfinite(v) else "nan" for v in iou))
     print(f"mIoU: {miou:.4f}  pixel-acc: {acc:.4f}")
