@@ -60,7 +60,9 @@ bool inflate_all(const std::vector<uint8_t>& in, std::vector<uint8_t>& out) {
 }
 
 // Decode an 8-bit non-interlaced PNG. Returns false on any parse error.
-bool decode_png(const char* path, Image& img) {
+// expand_palette=false keeps color-type-3 pixels as palette INDICES (what a
+// label map stores); true expands to RGB (what an image load wants).
+bool decode_png(const char* path, Image& img, bool expand_palette = true) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   std::fseek(f, 0, SEEK_END);
@@ -143,7 +145,7 @@ bool decode_png(const char* path, Image& img) {
     }
   }
 
-  if (color_type == 3) {  // palette -> RGB
+  if (color_type == 3 && expand_palette) {  // palette -> RGB
     if (palette.empty()) return false;
     std::vector<uint8_t> rgb(static_cast<size_t>(img.w) * img.h * 3);
     for (size_t i = 0; i < out.size(); ++i) {
@@ -204,7 +206,9 @@ void resize_bilinear_rgb(const Image& img, float* out, int oh, int ow) {
       float wx = static_cast<float>(fx - x0);
       float* o = &out[(static_cast<size_t>(y) * ow + x) * 3];
       for (int c = 0; c < 3; ++c) {
-        int cc = c < ch ? c : ch - 1;  // gray -> replicate
+        // <3 channels means gray(+alpha): replicate the gray channel,
+        // never the alpha
+        int cc = (ch >= 3) ? c : 0;
         float v00 = r0[x0 * ch + cc], v01 = r0[x1 * ch + cc];
         float v10 = r1[x0 * ch + cc], v11 = r1[x1 * ch + cc];
         float top = v00 + (v01 - v00) * wx;
@@ -277,7 +281,8 @@ int vlg_load_rgb(const char* path, float* out, int out_h, int out_w) {
 
 int vlg_load_gray_ids(const char* path, int32_t* out, int out_h, int out_w) {
   Image img;
-  if (!decode_png(path, img)) return 1;
+  // class-id maps: palette PNGs store the id as the palette index
+  if (!decode_png(path, img, /*expand_palette=*/false)) return 1;
   resize_nearest_ids(img, out, out_h, out_w);
   return 0;
 }

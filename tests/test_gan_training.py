@@ -52,7 +52,7 @@ def test_wgangp_step_with_gradient_penalty(tmp_path):
     # the wgangp branch runs the double-grad (penalty) inside the fused step
     cfg = Config(
         dataset="synthetic", synthetic_train_size=4, synthetic_val_size=4,
-        image_size=(16, 16), batch_size=4, epochs=1, edge=False,
+        image_size=(32, 32), batch_size=4, epochs=1, edge=False,
         filters_level=(2, 3, 4), compute_dtype="float32", workers=1,
         path=str(tmp_path), mesh_shape=(1,), gan_train=True,
         gan_mode="wgangp", ndf=4, rollout_frames=1,
@@ -61,3 +61,10 @@ def test_wgangp_step_with_gradient_penalty(tmp_path):
     t.set_epoch(0)
     t.train()
     assert t.global_step == 1
+    # losses must be finite (a 16px input used to collapse the PatchGAN to
+    # a zero-size output -> silent NaN; now raises at trace time)
+    import jax.numpy as jnp
+    from video_layout_generation_tpu.models import NLayerDiscriminator
+    with pytest.raises(ValueError, match="needs input >= 24px"):
+        d = NLayerDiscriminator(9, 4, n_layers=3, norm="instance")
+        d.init(jax.random.key(0), jnp.zeros((1, 16, 16, 9)))

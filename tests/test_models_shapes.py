@@ -131,3 +131,21 @@ def test_registry_lookup():
     assert models.get_model_cls("CoordGridNet") is models.CoordGridNet
     with pytest.raises(KeyError):
         models.get_model_cls("nope")
+
+
+def test_simple29_unet_mask_polarity():
+    # regression: Simple (mask==1 = cropped) must hand UNet the KNOWN mask;
+    # an untrained model must NOT reproduce GT inside the cropped box
+    m = models.simple29_unet(embedding_dim=8)
+    mask = jnp.zeros((1, 32, 32), jnp.int32).at[:, 8:16, 8:16].set(1)
+    seg_gt = jnp.full((1, 32, 32), 7, jnp.int32)
+    img = jnp.zeros((1, 32, 32, 3))
+    variables = m.init(jax.random.key(0), mask, seg_gt, img)
+    out = m.apply(variables, mask, seg_gt, img)
+    # outside the crop: exact one-hot of GT (composited)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0],
+                               np.eye(29)[7], atol=1e-5)
+    # inside the crop: raw (untrained) predictions, NOT the GT one-hot
+    inside = np.asarray(out)[0, 10, 10]
+    assert abs(inside[7] - 1.0) > 1e-3 or np.abs(
+        np.delete(inside, 7)).max() > 1e-3

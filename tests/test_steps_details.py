@@ -92,3 +92,15 @@ def test_checkpoint_latest_alias(tmp_path):
     cm.save(4, {"w": jnp.ones(4)}, {"opt": jnp.zeros(1)}, step=40,
             arch="GridNet")
     assert cm.restore("latest")["epoch"] == 4
+
+
+def test_flip_w_axis_conventions():
+    # regression: (N,H,W) integer maps must flip W (axis -1), NHWC flips
+    # axis -2 — a mismatch trains the seg head on vertically mirrored labels
+    from video_layout_generation_tpu.train.steps import _flip_w
+    x4 = jnp.arange(2 * 3 * 4 * 1).reshape(2, 3, 4, 1)
+    np.testing.assert_array_equal(np.asarray(_flip_w(x4)),
+                                  np.flip(np.asarray(x4), axis=2))
+    x3 = jnp.arange(2 * 3 * 4).reshape(2, 3, 4)
+    np.testing.assert_array_equal(np.asarray(_flip_w(x3)),
+                                  np.flip(np.asarray(x3), axis=2))

@@ -30,7 +30,9 @@ def rollout_fidelity(pred_segs, gt_segs, n_classes: int = 20
         pred = pred[..., 0]
     pred = pred.astype(jnp.int32)
     gt = jnp.asarray(gt_segs).astype(jnp.int32)
-    t = pred.shape[1]
+    # predicted horizon and available ground truth may disagree (e.g. the
+    # trainer's rollout_frames vs the requested n_frames); score the overlap
+    t = min(pred.shape[1], gt.shape[1])
     mious, accs = [], []
     for k in range(t):
         cm = np.asarray(confusion_matrix(pred[:, k], gt[:, k], n_classes))
@@ -55,6 +57,10 @@ def evaluate_trainer_rollout(trainer, dataset, indices: Sequence[int],
     imgs1, imgs2, segs1, segs2, gts = [], [], [], [], []
     for i in indices:
         imgs, segs = dataset.sequence(int(i), n_frames + 2)
+        if segs.shape[0] < n_frames + 2:
+            raise ValueError(
+                f"dataset.sequence returned {segs.shape[0]} frames; "
+                f"need {n_frames + 2} (2 seeds + {n_frames} futures)")
         imgs1.append(imgs[0])
         imgs2.append(imgs[1])
         segs1.append(segs[0])

@@ -36,6 +36,14 @@ class NLayerDiscriminator(nn.Module):
         norm_layer = get_norm_layer(self.norm, dt, train)
         # reference uses bias iff norm != batch (src/models/networks.py:559-562)
         use_bias = norm_uses_bias(self.norm)
+        # the conv ladder halves spatial n_layers times then shaves 1px
+        # twice; smaller inputs collapse to a zero-size patch map whose
+        # mean is NaN — fail loudly instead
+        min_hw = 3 * (2 ** self.n_layers)
+        if min(x.shape[1], x.shape[2]) < min_hw:
+            raise ValueError(
+                f"NLayerDiscriminator(n_layers={self.n_layers}) needs "
+                f"input >= {min_hw}px; got {x.shape[1]}x{x.shape[2]}")
         x = x.astype(dt) if dt is not None else x
 
         def c4(z, feats, stride, bias=True):

@@ -156,10 +156,15 @@ class Simple(nn.Module):
             x2 = nn.Embed(self.n_classes + 1, self.embedding_dim,
                           dtype=self.dtype, name="embedding")(seg)
         if self.model_name == "u_net":
-            # legacy UNet path consumes (img, one-hot seg, mask)
+            # legacy UNet path consumes (img, one-hot seg, known_mask).
+            # Polarity: Simple's mask marks the CROPPED region (1 = to
+            # complete, reference src/models/simple.py:41) while UNet's
+            # composite keeps GT where its mask is 1 (src/u_net.py:114,126)
+            # — so UNet receives the complement.
             onehot = seg_one_hot(seg_gt, self.n_classes)
+            known = 1.0 - mask.astype(jnp.float32)
             out = UNet(3, self.n_classes, self.dtype, name="layer")(
-                img, onehot, mask, train=train)
+                img, onehot, known, train=train)
             return out
         elif self.model_name == "encoder_decoder":
             x3 = EncoderDecoder(self.embedding_dim, self.n_classes,

@@ -48,6 +48,11 @@ class ExperimentBase(abc.ABC):
     def register(self, name: str, module, state: TrainState):
         self.nets[name] = module
         self.states[name] = state
+        # snapshot the base LR now — schedules must scale from the
+        # registration-time rate, not a later (already-decayed) one
+        if not hasattr(self, "_base_lrs"):
+            self._base_lrs = {}
+        self._base_lrs[name] = current_lr(state)
         if self.lr_policy == "plateau":
             self._plateaus[name] = PlateauScheduler(current_lr(state))
 
@@ -73,16 +78,9 @@ class ExperimentBase(abc.ABC):
                 lr = self._plateaus[name].update(self.metric)
             else:
                 sched = get_schedule(self.lr_policy)
-                lr = sched(current_lr(st) if epoch == 0 else
-                           self._base_lr(name), epoch, **self.policy_kw)
+                lr = sched(self._base_lrs[name], epoch, **self.policy_kw)
             self.states[name] = set_lr(st, lr)
         return {n: current_lr(s) for n, s in self.states.items()}
-
-    def _base_lr(self, name):
-        if not hasattr(self, "_base_lrs"):
-            self._base_lrs = {n: current_lr(s)
-                              for n, s in self.states.items()}
-        return self._base_lrs[name]
 
     # -- freezing (set_requires_grad parity) -----------------------------
     def set_requires_grad(self, names, requires_grad: bool):

@@ -58,16 +58,23 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
         rng_flip, rng_gp = jax.random.split(rng)
         x, f3n = prepare_inputs(hned_apply, hned_params, batch)
         s3 = batch["seg3"]
-        if flip_mode == "batch":
-            coin = jax.random.bernoulli(rng_flip)
-            x, f3n, s3 = _maybe_flip(coin, x, f3n, s3)
         # frames (normalized) for the conditional pair; channel positions in
         # x depend on the edge layout, so recompute from the batch directly
         from .assemble import normalize_image
+        from .steps import _flip_w
         f1n = normalize_image(batch["img1"])
         f2n = normalize_image(batch["img2"])
         if flip_mode == "batch":
-            f1n, f2n = _maybe_flip(coin, f1n, f2n)
+            coin = jax.random.bernoulli(rng_flip)
+            x, f3n, s3, f1n, f2n = _maybe_flip(coin, x, f3n, s3, f1n, f2n)
+        elif flip_mode == "per_example":
+            coins = jax.random.bernoulli(rng_flip, shape=(x.shape[0],))
+            sel = lambda t: jnp.where(
+                coins.reshape((-1,) + (1,) * (t.ndim - 1)), _flip_w(t), t)
+            x, f3n, s3 = sel(x), sel(f3n), sel(s3)
+            f1n, f2n = sel(f1n), sel(f2n)
+        elif flip_mode != "none":
+            raise ValueError(f"unknown flip_mode {flip_mode!r}")
 
         # ---- shared generator forward -------------------------------
         seg_logits, img = gen_apply(state.gen.params, x)

@@ -29,7 +29,14 @@ from .state import TrainState
 
 
 def _flip_w(x):
-    return jnp.flip(x, axis=-2) if x.ndim >= 3 else x
+    """Horizontal flip: W is axis -2 for NHWC tensors, axis -1 for (N,H,W)
+    integer maps (the reference flips seg3 on its last axis,
+    src/trainer.py:206)."""
+    if x.ndim == 4:
+        return jnp.flip(x, axis=-2)
+    if x.ndim == 3:
+        return jnp.flip(x, axis=-1)
+    return x
 
 
 def _maybe_flip(coin, *tensors):

@@ -267,7 +267,11 @@ class Trainer:
                         self.writer.add_scalar(
                             f"train/{k}", float(metrics[k]),
                             self.global_step)
-                if self.writer._w is not None:
+                # image grids are the expensive log (extra eval forward);
+                # gate them on disp_interval (reference parsed but never
+                # consumed it, src/main.py:133-135)
+                if (self.writer._w is not None
+                        and i % max(cfg.disp_interval, 1) == 0):
                     self._log_train_images(batch)
             else:
                 timer.mark_computed()
