@@ -77,8 +77,7 @@ def main():
 
     from video_layout_generation_tpu.models import GridNet
     from video_layout_generation_tpu.models.fast_gridnet import (
-        make_packed_gridnet_apply)
-    from video_layout_generation_tpu.train.rollout import make_rollout_fn
+        make_packed_rollout_fn)
 
     model = GridNet(n_channels=8, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.key(0),
@@ -87,14 +86,11 @@ def main():
     # fully-packed rollout: the whole autoregressive loop (model, argmax
     # feedback, input assembly) runs in space-to-depth space; seeds pack
     # once, outputs unpack once (models/fast_gridnet.py)
-    from video_layout_generation_tpu.models.fast_gridnet import (
-        make_packed_rollout_fn)
     ro_packed = make_packed_rollout_fn(n_frames=N_FRAMES,
                                        dtype=jnp.bfloat16, jit=False)
-    ro = lambda p, _hp, a, b, c, d: ro_packed(p, a, b, c, d)
     # device-side reduction -> sync by fetching one scalar
     fn = jax.jit(lambda p, a, b, c, d: jax.tree_util.tree_map(
-        lambda t: t.sum(), ro(p, None, a, b, c, d)))
+        lambda t: t.sum(), ro_packed(p, a, b, c, d)))
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((BATCH, HW, HW, 3), np.float32))

@@ -22,14 +22,15 @@ def main():
 
     from video_layout_generation_tpu.losses.ssim import ssim_loss
     from video_layout_generation_tpu.ops.pallas.instance_norm import (
-        _xla_instance_norm, instance_norm_pallas)
+        _tileable, _xla_instance_norm, instance_norm_pallas)
     from video_layout_generation_tpu.ops.pallas.ssim import ssim_loss_pallas
 
     rng = np.random.default_rng(0)
 
     # --- InstanceNorm ---------------------------------------------------
-    x = jnp.asarray(rng.standard_normal((4, 128, 128, 256))
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 256))
                     .astype(np.float32))
+    assert _tileable(x.shape), 'shape must take the Pallas path'
     a = float(jax.jit(lambda v: instance_norm_pallas(v).sum())(x))
     b = float(jax.jit(lambda v: _xla_instance_norm(v, 1e-5).sum())(x))
     print(f"IN value diff: {abs(a - b):.3e}")

@@ -116,14 +116,11 @@ def _concat_packed(xp, cp, ci: int, cc: int):
 
 
 def _coords_packed(h2: int, w2: int, dtype):
-    """pack2x2 of the CoordConv coordinate channels at (h2, w2)
-    (ops/coords.py convention)."""
-    hh = (jax.lax.broadcasted_iota(jnp.float32, (h2, w2), 0)
-          / max(h2 - 1, 1)) * 2 - 1
-    ww = (jax.lax.broadcasted_iota(jnp.float32, (h2, w2), 1)
-          / max(w2 - 1, 1)) * 2 - 1
-    c = jnp.stack([hh, ww], axis=-1)[None].astype(dtype)  # (1, h2, w2, 2)
-    return pack2x2(c)
+    """pack2x2 of the CoordConv coordinate channels at (h2, w2) — shares
+    the grid builder with ops/coords.add_coord_channels so the packed
+    executor cannot drift from the flax CoordConv convention."""
+    from ..ops.coords import coord_grid
+    return pack2x2(coord_grid(h2, w2, dtype)[None])
 
 
 def _coord_lateral_packed(p, xp, cp):

@@ -12,6 +12,17 @@ import jax
 import jax.numpy as jnp
 
 
+def coord_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(h, w, 2) normalized coordinate grid in [-1, 1]: channel 0 varies
+    along H, channel 1 along W (the reference's convention after its
+    transpose dance, src/models/modules.py:88-89)."""
+    hh = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+          / max(h - 1, 1)) * 2 - 1
+    ww = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+          / max(w - 1, 1)) * 2 - 1
+    return jnp.stack([hh, ww], axis=-1).astype(dtype)
+
+
 def add_coord_channels(x: jnp.ndarray) -> jnp.ndarray:
     """Append normalized coordinate channels to an NHWC tensor.
 
@@ -21,9 +32,6 @@ def add_coord_channels(x: jnp.ndarray) -> jnp.ndarray:
     transpose dance in src/models/modules.py:88-89).
     """
     n, h, w, _ = x.shape
-    dt = x.dtype
-    hh = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) / max(h - 1, 1)) * 2 - 1
-    ww = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) / max(w - 1, 1)) * 2 - 1
-    hh = jnp.broadcast_to(hh[None, :, :, None], (n, h, w, 1)).astype(dt)
-    ww = jnp.broadcast_to(ww[None, :, :, None], (n, h, w, 1)).astype(dt)
-    return jnp.concatenate([x, hh, ww], axis=-1)
+    grid = jnp.broadcast_to(coord_grid(h, w, x.dtype)[None],
+                            (n, h, w, 2))
+    return jnp.concatenate([x, grid], axis=-1)

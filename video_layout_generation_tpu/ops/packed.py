@@ -138,7 +138,7 @@ def conv_packed_stride2(x: jnp.ndarray, w_packed2: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=None)
-def _phase_matrices(in_size: int, np_bytes: bytes = b""):
+def _phase_matrices(in_size: int):
     """Align-corners x2 interpolation matrix split into even/odd phases."""
     from .resize import _interp_matrix_np
     a = _interp_matrix_np(in_size, 2 * in_size, "bilinear", True)

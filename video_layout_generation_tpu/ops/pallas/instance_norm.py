@@ -28,6 +28,17 @@ from jax.experimental import pallas as pl
 LANE = 128
 
 
+def _fwd_only_kernel(x_ref, y_ref, *, eps: float):
+    """Primal-only variant: no residual outputs, so non-differentiated
+    forwards (eval, frozen nets) pay one HBM read + one write."""
+    x = x_ref[...].astype(jnp.float32)
+    hw = x.shape[1] * x.shape[2]
+    mean = jnp.sum(x, axis=(1, 2), keepdims=True) / hw
+    xc = x - mean
+    var = jnp.sum(xc * xc, axis=(1, 2), keepdims=True) / hw
+    y_ref[...] = (xc * jax.lax.rsqrt(var + eps)).astype(y_ref.dtype)
+
+
 def _fwd_kernel(x_ref, y_ref, xhat_ref, rstd_ref, *, eps: float):
     x = x_ref[...].astype(jnp.float32)          # (1, H, W, LANE)
     hw = x.shape[1] * x.shape[2]
@@ -105,9 +116,21 @@ def _pallas_bwd(res, dy):
     return (dx,)
 
 
+def _pallas_fwd_only(x, eps):
+    n, h, w, c = x.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_only_kernel, eps=eps),
+        grid=(n, c // LANE),
+        in_specs=[pl.BlockSpec((1, h, w, LANE), lambda i, j: (i, 0, 0, j))],
+        out_specs=pl.BlockSpec((1, h, w, LANE), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(x)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _instance_norm_p(x, eps):
-    return _pallas_fwd(x, eps)[0]
+    # primal (runs when nothing differentiates through): residual-free
+    return _pallas_fwd_only(x, eps)
 
 
 def _in_fwd(x, eps):

@@ -14,8 +14,11 @@ losses/ssim.ssim_loss exactly (reference SsimLoss semantics,
 src/loss.py:64-91).
 
 Backward: custom VJP — residuals are the inputs; gradients come from
-jax.vjp of the XLA formulation (identical math), so training is exact while
-the forward (the part that runs in eval loops too) takes the fused path.
+jax.vjp of the XLA formulation (identical math), so training through this
+kernel is exact but pays a duplicated XLA forward in the backward pass.
+The fused path is therefore a win for NON-differentiated uses (eval loops,
+metrics); under grad, prefer the plain XLA loss (losses/ssim.py keeps
+use_pallas=False by default).
 """
 
 from __future__ import annotations
@@ -26,8 +29,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from ..pooling import avg_pool_3x3_valid
 
 _C1 = 0.01 ** 2
 _C2 = 0.03 ** 2
@@ -76,21 +77,11 @@ def _ssim_pallas_fwd_impl(x, y):
 
 
 def _xla_ssim(x, y):
-    """The XLA formulation (losses/ssim.py) — used for the backward."""
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
-    stats = jnp.concatenate([x, y, x * x, y * y, x * y], axis=-1)
-    pooled = avg_pool_3x3_valid(stats)
-    c = x.shape[-1]
-    mu_x, mu_y, xx, yy, xy = (pooled[..., i * c:(i + 1) * c]
-                              for i in range(5))
-    sx = xx - mu_x * mu_x
-    sy = yy - mu_y * mu_y
-    sxy = xy - mu_x * mu_y
-    num = (2 * mu_x * mu_y + _C1) * (2 * sxy + _C2)
-    den = (mu_x * mu_x + mu_y * mu_y + _C1) * (sx + sy + _C2)
-    val = jnp.clip((1.0 - num / den) / 2.0, 0.0, 1.0)
-    return jnp.sum(jnp.mean(val, axis=(0, 1, 2)))
+    """The XLA formulation — single source of truth in losses/ssim.py
+    (lazy import; that module lazily imports this one only at call time,
+    so there is no cycle)."""
+    from ...losses.ssim import ssim_loss
+    return ssim_loss(x, y, use_pallas=False)
 
 
 @jax.custom_vjp
