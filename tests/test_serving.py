@@ -45,3 +45,35 @@ def test_predict_rejects_oversized_batch(ckpt_path):
     seg = np.zeros((3, 32, 32), np.int32)
     with pytest.raises(ValueError, match="shard the request"):
         pred.predict(img, img, seg, seg)
+
+
+def test_predict_edge_mode(ckpt_path, tmp_path):
+    # edge-mode serving: HNED runs inside the scan (10ch contract)
+    import jax
+    import jax.numpy as jnp
+    from video_layout_generation_tpu.config import Config
+    from video_layout_generation_tpu.models import HNED
+
+    # a 10ch checkpoint
+    cfg = Config(dataset="synthetic", synthetic_train_size=4,
+                 synthetic_val_size=4, image_size=(32, 32), batch_size=4,
+                 epochs=1, edge=True, arch="GridNet",
+                 filters_level=(4, 6, 8), compute_dtype="float32",
+                 workers=1, path=str(tmp_path), mesh_shape=(1,),
+                 rollout_frames=1)
+    t = Trainer(cfg)
+    t.epoch = 1
+    t.save_checkpoint()
+    import os
+    ck = os.path.join(str(tmp_path), "checkpoint", "001")
+
+    hned = HNED()
+    pred = LayoutPredictor.from_checkpoint(
+        ck, arch="GridNet", n_frames=1, batch=2, image_hw=(32, 32),
+        filters_level=(4, 6, 8), use_bf16=False, hned=hned,
+        hned_params=t.hned_params, use_edges=True)
+    img = np.zeros((2, 32, 32, 3), np.float32)
+    seg = np.zeros((2, 32, 32), np.int32)
+    frames, layouts = pred.predict(img, img, seg, seg)
+    assert frames.shape == (2, 1, 32, 32, 3)
+    assert layouts.shape == (2, 1, 32, 32)
