@@ -106,10 +106,12 @@ class ResnetGenerator(nn.Module):
 
         for i in range(n_down):
             mult = 2 ** (n_down - i)
-            # torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) doubles
-            # H,W; flax ConvTranspose with SAME padding + stride 2 matches.
+            # torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1):
+            # the exact flax equivalent is explicit ((1,2),(1,2)) padding
+            # (tests/test_convtranspose_parity.py pins this; SAME differs)
             y = nn.ConvTranspose(self.ngf * mult // 2, (3, 3),
-                                 strides=(2, 2), padding="SAME",
+                                 strides=(2, 2),
+                                 padding=((1, 2), (1, 2)),
                                  use_bias=use_bias, dtype=dt,
                                  kernel_init=kinit)(y)
             y = nn.relu(norm_layer()(y))
