@@ -49,3 +49,26 @@ def test_convtranspose_stride2_matches_torch(k, out_pad, pad):
 
     assert got.shape == ref.shape == (2, 2 * h, 2 * h, cout)
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [3, 4])
+def test_strided_conv_matches_torch(k):
+    """Downsampling convs: torch Conv2d(k, s=2, p=1) == flax explicit
+    ((1,1),(1,1)) padding (GridNet down blocks, discriminator ladder)."""
+    rng = np.random.default_rng(1)
+    cin, cout, h = 5, 6, 16
+    x = rng.standard_normal((2, h, h, cin)).astype(np.float32)
+    wt = rng.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.1
+    b = rng.standard_normal(cout).astype(np.float32) * 0.01
+
+    ref = F.conv2d(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                   torch.from_numpy(wt), torch.from_numpy(b), stride=2,
+                   padding=1).permute(0, 2, 3, 1).numpy()
+
+    m = nn.Conv(cout, (k, k), strides=(2, 2), padding=((1, 1), (1, 1)))
+    params = {"params": {
+        "kernel": jnp.asarray(np.transpose(wt, (2, 3, 1, 0))),
+        "bias": jnp.asarray(b)}}
+    got = np.asarray(m.apply(params, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4)
