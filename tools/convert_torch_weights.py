@@ -18,6 +18,11 @@ vgg19, torchvision's cached/pretrained weights are used if downloadable
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -10,6 +10,11 @@ prints timings. On success, flip ``losses/ssim.py::ssim_loss`` default
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -32,9 +32,10 @@ def ssim_loss(x: jnp.ndarray, y: jnp.ndarray,
     """x, y: (N, H, W, C). Returns scalar = sum over C of mean (1-SSIM)/2.
 
     use_pallas=True dispatches to the fused Pallas kernel on TPU
-    (ops/pallas/ssim.py; identical math, one HBM pass). Off by default
-    until hardware-validated — flip after running
-    tests/test_pallas_kernels.py on a real chip."""
+    (ops/pallas/ssim.py; identical math, one HBM pass). Hardware-validated
+    on v5e (value diff 1e-7 vs XLA; tools/validate_pallas_on_tpu.py).
+    Default stays False because the kernel's custom VJP duplicates an XLA
+    forward under grad — eval paths opt in (CombinedLoss.eval_variant)."""
     if use_pallas and x.ndim == 4 and _on_tpu():
         from ..ops.pallas.ssim import plane_fits_vmem, ssim_loss_pallas
         if plane_fits_vmem(x.shape):

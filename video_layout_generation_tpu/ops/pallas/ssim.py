@@ -53,7 +53,10 @@ def _ssim_kernel(x_ref, y_ref, out_ref):
     num = (2 * mu_x * mu_y + _C1) * (2 * xy + _C2)
     den = (mu_x * mu_x + mu_y * mu_y + _C1) * (xx + yy + _C2)
     val = jnp.clip((1.0 - num / den) / 2.0, 0.0, 1.0)
-    out_ref[0, 0] = jnp.mean(val)
+    # the output lives in SMEM as ONE (N, C) block shared by every grid
+    # step (constant index map — Mosaic requires sub-(8,128) blocks to
+    # cover the whole array); each (n, c) program writes its own element
+    out_ref[pl.program_id(0), pl.program_id(1)] = jnp.mean(val)
 
 
 def _ssim_pallas_fwd_impl(x, y):
@@ -68,7 +71,7 @@ def _ssim_pallas_fwd_impl(x, y):
             pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((n, c), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
     )(xt, yt)

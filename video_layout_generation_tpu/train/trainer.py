@@ -145,7 +145,7 @@ class Trainer:
                 model_apply, hned_apply, self.combined,
                 cfg.w_l1, cfg.w_style, cfg.w_seg)
         self._eval_step = make_eval_step(
-            model_apply, hned_apply, self.combined,
+            model_apply, hned_apply, self.combined.eval_variant(),
             cfg.w_l1, cfg.w_style, cfg.w_seg)
         fast_ok = cfg.fast_rollout and cfg.arch in ("GridNet",
                                                     "CoordGridNet")
