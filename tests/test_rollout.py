@@ -83,3 +83,47 @@ def test_edge_rollout_carries_edges_consistently():
                                    np.asarray(fs[2 + t]), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(segs[:, t]),
                                       np.asarray(ss[2 + t]))
+
+
+def test_edge_scale_rollout_matches_downsampled_reference():
+    # edge_scale=2: HNED runs on the 1/2 bilinear downsample; the fused map
+    # is upsampled back. The scan must equal the same math in a python loop.
+    from video_layout_generation_tpu.models import HNED
+    from video_layout_generation_tpu.ops.resize import resize_bilinear
+    from video_layout_generation_tpu.train.assemble import denormalize_image
+
+    h = w = 32  # HNED's 4 pools need >=16px after the 1/2 downsample
+    model = GridNet(n_channels=10, filters_level=(4, 6, 8))
+    hned = HNED()
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, h, w, 10)))
+    hp = jax.jit(hned.init)(jax.random.key(1), jnp.zeros((1, h, w, 3)))
+    rng = np.random.default_rng(2)
+    img1 = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32))
+    seg1 = jnp.asarray(rng.integers(0, 20, (1, h, w, 1)).astype(np.float32))
+    seg2 = jnp.asarray(rng.integers(0, 20, (1, h, w, 1)).astype(np.float32))
+
+    ro = make_rollout_fn(model.apply, hned.apply, n_frames=2,
+                         use_edges=True, edge_scale=2)
+    imgs, segs = ro(params, hp, img1, img2, seg1, seg2)
+
+    def edge(f):
+        im = denormalize_image(f)
+        small = resize_bilinear(im, (h // 2, w // 2), align_corners=False)
+        e = hned.apply(hp, small)[-1]
+        return resize_bilinear(e, (h, w), align_corners=False)
+
+    fs, ss = [img1, img2], [seg1, seg2]
+    for _ in range(2):
+        x = assemble_model_input(ss[-2], fs[-2], fs[-1], ss[-1],
+                                 edge(fs[-2]), edge(fs[-1]))
+        logits, im = model.apply(params, x)
+        fs.append(normalize_model_output(im))
+        ss.append(jnp.argmax(logits, axis=-1)[..., None].astype(jnp.float32))
+
+    for t in range(2):
+        np.testing.assert_allclose(np.asarray(imgs[:, t]),
+                                   np.asarray(fs[2 + t]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(segs[:, t]),
+                                      np.asarray(ss[2 + t]))

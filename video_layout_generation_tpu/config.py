@@ -92,6 +92,9 @@ class Config:
     seg1: Optional[str] = None
     seg2: Optional[str] = None
     rollout_frames: int = 8
+    # edge-mode rollout: run HNED on a 1/k downsample (opt-in approximation;
+    # HNED dominates edge-mode rollout cost — train/rollout.py)
+    rollout_edge_scale: int = 1
 
     # -- pretrained weight artifacts ----------------------------------------
     hed_weights: Optional[str] = None   # converted HNED weights (.npz)
@@ -169,6 +172,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--hed_weights", type=str, default=None)
     p.add_argument("--vgg_weights", type=str, default=None)
     p.add_argument("--rollout_frames", type=int, default=8)
+    p.add_argument("--rollout_edge_scale", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--remat", action="store_true")
     return p

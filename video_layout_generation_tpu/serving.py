@@ -31,7 +31,8 @@ class LayoutPredictor:
     def __init__(self, arch: str, params, n_frames: int = 8,
                  batch: int = 16, image_hw=(256, 256),
                  filters_level=(32, 64, 96), use_bf16: bool = True,
-                 hned=None, hned_params=None, use_edges: bool = False):
+                 hned=None, hned_params=None, use_edges: bool = False,
+                 edge_scale: int = 1):
         if arch not in ("GridNet", "CoordGridNet"):
             raise ValueError(f"serving supports GridNet archs, got {arch}")
         self.arch = arch
@@ -48,7 +49,8 @@ class LayoutPredictor:
                                         filters_level=tuple(filters_level),
                                         dtype=dtype)
             ro = make_rollout_fn(model.apply, hned.apply,
-                                 n_frames=n_frames, use_edges=True)
+                                 n_frames=n_frames, use_edges=True,
+                                 edge_scale=edge_scale)
             self._rollout = lambda p, a, b, c, d: ro(p, hned_params,
                                                      a, b, c, d)
         else:

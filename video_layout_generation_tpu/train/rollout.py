@@ -12,6 +12,11 @@ Input-contract note (SURVEY.md §2c#5, §3.3): the reference's rollout feeds an
 both contracts: ``use_edges=True`` recomputes HNED edges on the fed-back
 frames inside the scan (matching the training distribution — documented
 intent); ``use_edges=False`` reproduces the literal 8-channel layout.
+
+Perf: in edge mode the frozen HNED (VGG16-class trunk) dominates the step
+cost. ``edge_scale=k`` (opt-in approximation) runs HNED on a 1/k bilinear
+downsample of the frame and upsamples the fused edge map back — ~k^2 fewer
+HNED FLOPs; edge maps are smooth, so k=2 is visually indistinguishable.
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.resize import resize_bilinear
 from .assemble import (assemble_model_input, denormalize_image,
                        normalize_model_output)
 
@@ -28,7 +34,7 @@ from .assemble import (assemble_model_input, denormalize_image,
 def make_rollout_fn(model_apply: Callable,
                     hned_apply: Optional[Callable] = None,
                     n_frames: int = 8, use_edges: bool = True,
-                    jit: bool = True):
+                    jit: bool = True, edge_scale: int = 1):
     """Build ``rollout(params, hned_params, img1, img2, seg1, seg2)``.
 
     Args (to the built fn):
@@ -41,9 +47,19 @@ def make_rollout_fn(model_apply: Callable,
     if use_edges and hned_apply is None:
         raise ValueError("use_edges=True requires hned_apply")
 
+    if edge_scale < 1:
+        raise ValueError(f"edge_scale must be >= 1, got {edge_scale}")
+
     def rollout(params, hned_params, img1, img2, seg1, seg2):
         def edge(f):
-            return hned_apply(hned_params, denormalize_image(f))[-1]
+            img = denormalize_image(f)
+            if edge_scale == 1:
+                return hned_apply(hned_params, img)[-1]
+            h, w = img.shape[1], img.shape[2]
+            small = resize_bilinear(img, (h // edge_scale, w // edge_scale),
+                                    align_corners=False)
+            e = hned_apply(hned_params, small)[-1]
+            return resize_bilinear(e, (h, w), align_corners=False)
 
         if use_edges:
             # edges carried through the scan: e_old(t+1) == e_new(t), so

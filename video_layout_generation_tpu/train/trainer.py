@@ -164,9 +164,9 @@ class Trainer:
                 from ..models.fast_gridnet import make_packed_gridnet_apply
                 rollout_apply = make_packed_gridnet_apply(
                     dtype=dtype, coord_in=(cfg.arch == "CoordGridNet"))
-            self._rollout = make_rollout_fn(rollout_apply, hned_apply,
-                                            n_frames=cfg.rollout_frames,
-                                            use_edges=cfg.edge)
+            self._rollout = make_rollout_fn(
+                rollout_apply, hned_apply, n_frames=cfg.rollout_frames,
+                use_edges=cfg.edge, edge_scale=cfg.rollout_edge_scale)
 
         # --- data --------------------------------------------------------
         if dataset_train is None:
