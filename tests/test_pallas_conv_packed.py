@@ -1,0 +1,105 @@
+"""Sparse packed-conv Pallas kernel vs the dense XLA packed conv
+(interpret mode on CPU).
+
+The kernel assumes the 2x2 space-to-depth packed kernel's block sparsity
+(ops/packed.pack_kernel3x3): the qy=-1 tap plane is nonzero only in its
+dy=1 input rows and qy=+1 only in dy=0 — asserted here so the kernel's
+dropped blocks can never silently carry weight.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from video_layout_generation_tpu.ops.packed import (conv_packed3x3, pack2x2,
+                                                    pack_kernel3x3)
+from video_layout_generation_tpu.ops.pallas import conv_packed as m
+
+
+def _rand(*shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(
+        np.float32)
+
+
+@pytest.fixture
+def interp(monkeypatch):
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+
+def test_packed_kernel_block_sparsity():
+    wp = pack_kernel3x3(jnp.asarray(_rand(3, 3, 32, 32, seed=1)))
+    c2 = wp.shape[2] // 2
+    assert np.all(np.asarray(wp[0, :, :c2]) == 0)   # qy=-1, dy=0 rows
+    assert np.all(np.asarray(wp[2, :, c2:]) == 0)   # qy=+1, dy=1 rows
+    # and per qx: the planes this kernel keeps are not all zero
+    assert np.abs(np.asarray(wp[1])).max() > 0
+
+
+@pytest.mark.parametrize("h,w,tile_h", [(16, 16, 8), (16, 16, 16),
+                                        (8, 16, 16), (12, 16, 8)])
+def test_sparse_matches_dense_packed(interp, h, w, tile_h):
+    x = jnp.asarray(_rand(2, 2 * h, 2 * w, 32, seed=2))
+    wl = jnp.asarray(_rand(3, 3, 32, 32, seed=3)) * 0.05
+    b = jnp.asarray(_rand(32, seed=4))
+    xp = pack2x2(x)
+    wp = pack_kernel3x3(wl)
+    got = m.conv_packed3x3_sparse(xp, wp, b, tile_h)
+    ref = conv_packed3x3(xp, wp, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_sparse_no_bias_and_bf16(interp):
+    x = jnp.asarray(_rand(1, 32, 32, 32, seed=5)).astype(jnp.bfloat16)
+    wl = (jnp.asarray(_rand(3, 3, 32, 32, seed=6)) * 0.05).astype(
+        jnp.bfloat16)
+    xp = pack2x2(x)
+    wp = pack_kernel3x3(wl)
+    got = m.conv_packed3x3_sparse(xp, wp, None, 8)
+    ref = conv_packed3x3(xp, wp, None)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_sparse_wider_channels(interp):
+    # 4Ci = 256 (logical C=64): exercises the 2-lane-tile operand path
+    x = jnp.asarray(_rand(1, 16, 16, 64, seed=7))
+    wl = jnp.asarray(_rand(3, 3, 64, 32, seed=8)) * 0.05
+    b = jnp.asarray(_rand(32, seed=9))
+    xp = pack2x2(x)
+    wp = pack_kernel3x3(wl)
+    got = m.conv_packed3x3_sparse(xp, wp, b, 8)
+    ref = conv_packed3x3(xp, wp, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_sparse_grad_is_dense_vjp(interp):
+    x = jnp.asarray(_rand(1, 16, 16, 32, seed=10))
+    wl = jnp.asarray(_rand(3, 3, 32, 32, seed=11)) * 0.05
+    b = jnp.asarray(_rand(32, seed=12))
+    xp = pack2x2(x)
+    wp = pack_kernel3x3(wl)
+
+    gp = jax.grad(lambda a, w, c: jnp.sum(
+        m.conv_packed3x3_sparse(a, w, c, 8) ** 2), argnums=(0, 1, 2))(
+            xp, wp, b)
+    gr = jax.grad(lambda a, w, c: jnp.sum(
+        conv_packed3x3(a, w, c) ** 2), argnums=(0, 1, 2))(xp, wp, b)
+    for a, r in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-2, rtol=1e-4)
+
+
+def test_supported():
+    assert m.supported(128, 128)
+    assert m.supported(256, 128)
+    assert not m.supported(160, 128)    # coord-augmented input
+    assert not m.supported(128, 80)     # seg head (4*20)

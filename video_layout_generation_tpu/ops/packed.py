@@ -113,9 +113,24 @@ def pack_kernel3x3_stride2(w: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def conv_packed3x3(x: jnp.ndarray, w_packed: jnp.ndarray,
-                   bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Packed-space stride-1 conv; bias is the logical (Co,) bias."""
+def _use_sparse_kernel(c4in: int, c4out: int) -> bool:
+    """Dispatch the block-sparse Pallas kernel (ops/pallas/conv_packed.py)
+    on TPU for lane-aligned packed channel counts — it runs 2.67x logical
+    FLOPs vs the dense packed conv's 4x. Trace-time decision (backend is
+    known when tracing). VLG_PACKED_SPARSE=0 disables."""
+    import os
+
+    import jax as _jax
+    if os.environ.get("VLG_PACKED_SPARSE", "1") == "0":
+        return False
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return c4in % 128 == 0 and c4out % 128 == 0
+
+
+def conv_packed3x3_dense(x: jnp.ndarray, w_packed: jnp.ndarray,
+                         bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """The dense XLA packed-space conv (always; no kernel dispatch)."""
     y = jax.lax.conv_general_dilated(
         x, w_packed, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -123,6 +138,15 @@ def conv_packed3x3(x: jnp.ndarray, w_packed: jnp.ndarray,
     if bias is not None:
         y = y + jnp.tile(bias, 4).astype(y.dtype)
     return y
+
+
+def conv_packed3x3(x: jnp.ndarray, w_packed: jnp.ndarray,
+                   bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Packed-space stride-1 conv; bias is the logical (Co,) bias."""
+    if _use_sparse_kernel(x.shape[-1], w_packed.shape[-1]):
+        from .pallas.conv_packed import conv_packed3x3_sparse
+        return conv_packed3x3_sparse(x, w_packed, bias)
+    return conv_packed3x3_dense(x, w_packed, bias)
 
 
 def conv_packed_stride2(x: jnp.ndarray, w_packed2: jnp.ndarray,

@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: block-sparse conv for 2x2 space-to-depth packed space.
+
+The packed executor (models/fast_gridnet.py) runs GridNet's 256px/C=32 row
+(reference src/models/modules.py:5-25) as 128px/C=128 convs via 2x2
+space-to-depth (ops/packed.py). That transform is exact but its packed
+(3,3,4C,4C) kernel is 75% structural zeros — per axis, an (output-phase e,
+input-phase d) pair admits a tap at shift q only when k = 2q+1+d-e lands in
+[0,2] — so the dense packed conv spends 4x the logical FLOPs (measured
+121 TF/s dense on v5e = ~30 TF/s of *useful* work).
+
+This kernel exploits the block structure. Group taps by the row shift qy:
+
+  qy =  0: all four input phase blocks of row y       (4C lanes, dense)
+  qy = -1: only the dy=1 phase blocks of row y-1      (high 2C lanes)
+  qy = +1: only the dy=0 phase blocks of row y+1      (low 2C lanes)
+
+so rows y-1 and y+1 contribute *complementary lane halves* — a single
+lane-wise select merges them into one full-width operand with no lane
+shuffles. The x-axis shifts are folded through the output dimension: each
+of the two operands hits a (4C, 3·4Co) weight matrix (the three qx tap
+planes stacked along columns), and the three column blocks are re-aligned
+with two shifted adds. Net cost: two K=4C MXU dots per tile = 2.67x logical
+FLOPs (vs 4x dense) with MXU-friendly shapes (K=128, N=384 for row 0).
+
+Forward-only optimization target (rollout/serving + the training forward);
+backward defers to ``jax.vjp`` of the dense XLA packed conv — identical
+math, so training gradients are unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..packed import conv_packed3x3 as _xla_conv_packed3x3
+
+
+def wmats_from_packed(wp: jnp.ndarray):
+    """(3,3,4Ci,4Co) packed kernel (pack_kernel3x3) -> (Wa, Wb).
+
+    Wa (4Ci, 3*4Co): qy=0 tap plane per qx column block.
+    Wb (4Ci, 3*4Co): rows [0:2Ci] = qy=+1 plane's dy=0 rows, rows [2Ci:] =
+    qy=-1 plane's dy=1 rows — matching the select-merged operand layout.
+    The dropped rows (dy=1 of qy=+1, dy=0 of qy=-1) are structural zeros.
+    """
+    c4 = wp.shape[2]
+    c2 = c4 // 2
+    wa = jnp.concatenate([wp[1, qx] for qx in range(3)], axis=1)
+    wb = jnp.concatenate(
+        [jnp.concatenate([wp[2, qx, :c2], wp[0, qx, c2:]], axis=0)
+         for qx in range(3)], axis=1)
+    return wa, wb
+
+
+def _kernel(x_top_ref, x_mid_ref, x_bot_ref, wa_ref, wb_ref, b_ref, out_ref):
+    th = x_mid_ref.shape[1]
+    w = x_mid_ref.shape[2]
+    c4 = x_mid_ref.shape[3]
+    c2 = c4 // 2
+    co4 = out_ref.shape[3]
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    top = x_top_ref[0]                        # (1, W, 4Ci), row jt-1 clamped
+    bot = x_bot_ref[0]
+    # SAME padding: the clamped halo row duplicates an in-image row at the
+    # top/bottom edge — zero it there
+    top = jnp.where(j == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(j == nj - 1, jnp.zeros_like(bot), bot)
+
+    mid = x_mid_ref[0]                                     # (th, W, 4Ci)
+    up = jnp.concatenate([top, mid[:-1]], axis=0)          # row y-1
+    dn = jnp.concatenate([mid[1:], bot], axis=0)           # row y+1
+    # complementary halves: dy=0 blocks (low 2Ci) from y+1, dy=1 blocks
+    # (high 2Ci) from y-1 — one vector select, no lane movement
+    lane = jax.lax.broadcasted_iota(jnp.int32, (th, w, c4), 2)
+    updn = jnp.where(lane < c2, dn, up)
+
+    y = jnp.dot(mid.reshape(th * w, c4), wa_ref[...],
+                preferred_element_type=jnp.float32)
+    y = y + jnp.dot(updn.reshape(th * w, c4), wb_ref[...],
+                    preferred_element_type=jnp.float32)
+    y = y.reshape(th, w, 3 * co4)
+
+    # fold the qx column blocks back onto the x axis (concat-shifts — Mosaic
+    # has no scatter-add):
+    # out[:, x] = Y[:, x-1, qx=-1] + Y[:, x, qx=0] + Y[:, x+1, qx=+1]
+    zc = jnp.zeros((th, 1, co4), jnp.float32)
+    out = (y[:, :, co4:2 * co4]
+           + jnp.concatenate([zc, y[:, :-1, :co4]], axis=1)
+           + jnp.concatenate([y[:, 1:, 2 * co4:], zc], axis=1))
+    out = out + b_ref[...].astype(jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _fwd_impl(xp, wp, bias, tile_h: int):
+    n, h, w, c4 = xp.shape
+    co4 = wp.shape[-1]
+    th = min(tile_h, h)
+    while h % th:
+        th //= 2
+    nj = h // th
+
+    wa, wb = wmats_from_packed(wp.astype(xp.dtype))
+    if bias is None:
+        b4 = jnp.zeros((1, co4), jnp.float32)
+    else:
+        b4 = jnp.tile(bias.astype(jnp.float32), 4).reshape(1, co4)
+
+    return pl.pallas_call(
+        _kernel,
+        grid=(n, nj),
+        in_specs=[
+            pl.BlockSpec((1, 1, w, c4),
+                         lambda i, j: (i, jnp.maximum(j * th - 1, 0), 0, 0)),
+            pl.BlockSpec((1, th, w, c4), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, w, c4),
+                         lambda i, j: (i, jnp.minimum(j * th + th, h - 1),
+                                       0, 0)),
+            pl.BlockSpec((c4, 3 * co4), lambda i, j: (0, 0)),
+            pl.BlockSpec((c4, 3 * co4), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, co4), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, co4), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co4), xp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * c4 * 3 * co4 * 2,
+            bytes_accessed=(n * h * w * (c4 + co4) * xp.dtype.itemsize
+                            + 2 * c4 * 3 * co4 * xp.dtype.itemsize),
+            transcendentals=0),
+    )(xp, xp, xp, wa, wb, b4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_packed3x3_sparse(xp, wp, bias, tile_h: int = 16):
+    """Packed-space stride-1 3x3 conv (+ logical bias), sparse-aware.
+
+    Drop-in for ops.packed.conv_packed3x3 when ``supported()`` holds:
+    xp (N,H,W,4Ci) phase-major, wp (3,3,4Ci,4Co) from pack_kernel3x3,
+    bias logical (Co,) or None.
+    """
+    return _fwd_impl(xp, wp, bias, tile_h)
+
+
+def _fwd(xp, wp, bias, tile_h):
+    return _fwd_impl(xp, wp, bias, tile_h), (xp, wp, bias)
+
+
+def _bwd(tile_h, res, g):
+    xp, wp, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(lambda x, w: _xla_conv_packed3x3(x, w, None),
+                         xp, wp)
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(_xla_conv_packed3x3, xp, wp, bias)
+    return vjp(g)
+
+
+conv_packed3x3_sparse.defvjp(_fwd, _bwd)
+
+
+def supported(c4in: int, c4out: int) -> bool:
+    """Lane-aligned packed channel counts the kernel handles."""
+    return c4in % 128 == 0 and c4out % 128 == 0
