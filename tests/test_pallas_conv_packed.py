@@ -103,3 +103,79 @@ def test_supported():
     assert m.supported(256, 128)
     assert not m.supported(160, 128)    # coord-augmented input
     assert not m.supported(128, 80)     # seg head (4*20)
+
+
+def _prelu_np(x, a):
+    return jnp.where(x >= 0, x, a * x)
+
+
+def test_fused_prelu_conv_matches_composition(interp):
+    from video_layout_generation_tpu.ops.pallas.conv_packed import (
+        prelu_conv_packed3x3)
+    x = jnp.asarray(_rand(2, 16, 16, 32, seed=20))
+    wl = jnp.asarray(_rand(3, 3, 32, 32, seed=21)) * 0.05
+    b = jnp.asarray(_rand(32, seed=22))
+    alpha = jnp.asarray(0.25, jnp.float32)
+    xp = pack2x2(x)
+    wp = pack_kernel3x3(wl)
+    got = prelu_conv_packed3x3(xp, wp, b, alpha, 8)
+    ref = conv_packed3x3(_prelu_np(xp, alpha.astype(xp.dtype)), wp, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_fused_prelu_conv_res_matches_composition(interp):
+    from video_layout_generation_tpu.ops.pallas.conv_packed import (
+        prelu_conv_packed3x3_res)
+    x = jnp.asarray(_rand(1, 16, 16, 32, seed=23))
+    wl = jnp.asarray(_rand(3, 3, 32, 32, seed=24)) * 0.05
+    b = jnp.asarray(_rand(32, seed=25))
+    alpha = jnp.asarray(0.1, jnp.float32)
+    xp = pack2x2(x)
+    wp = pack_kernel3x3(wl)
+    r = jnp.asarray(_rand(1, 8, 8, 128, seed=26))
+    got = prelu_conv_packed3x3_res(xp, wp, b, alpha, r, 8)
+    ref = conv_packed3x3(_prelu_np(xp, alpha.astype(xp.dtype)), wp, b) + r
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_fused_prelu_conv_grads(interp):
+    from video_layout_generation_tpu.ops.pallas.conv_packed import (
+        prelu_conv_packed3x3_res)
+    x = jnp.asarray(_rand(1, 8, 8, 32, seed=27))
+    wl = jnp.asarray(_rand(3, 3, 32, 32, seed=28)) * 0.05
+    b = jnp.asarray(_rand(32, seed=29))
+    alpha = jnp.asarray(0.2, jnp.float32)
+    xp = pack2x2(x)
+    wp = pack_kernel3x3(wl)
+    r = jnp.asarray(_rand(1, 4, 4, 128, seed=30))
+
+    gp = jax.grad(lambda a_, w_, b_, al_, r_: jnp.sum(
+        prelu_conv_packed3x3_res(a_, w_, b_, al_, r_, 8) ** 2),
+        argnums=(0, 1, 2, 3, 4))(xp, wp, b, alpha, r)
+    gr = jax.grad(lambda a_, w_, b_, al_, r_: jnp.sum(
+        (conv_packed3x3(_prelu_np(a_, al_.astype(a_.dtype)), w_, b_)
+         + r_) ** 2), argnums=(0, 1, 2, 3, 4))(xp, wp, b, alpha, r)
+    for a, rr in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(rr),
+                                   atol=1e-2, rtol=1e-3)
+
+
+def test_packed_executor_residual_plumbing_cpu():
+    # the XLA fallback path must add `residual` exactly like the old
+    # two-term formulation (grid fusion, reference src/models/gridnet.py:43-58)
+    from video_layout_generation_tpu.models import fast_gridnet as fg
+    p = {
+        "PReLU_0": {"alpha": jnp.asarray(0.25)},
+        "PReLU_1": {"alpha": jnp.asarray(0.25)},
+        "Conv_0": {"kernel": jnp.asarray(_rand(3, 3, 8, 8, seed=31)) * 0.1,
+                   "bias": jnp.asarray(_rand(8, seed=32))},
+        "Conv_1": {"kernel": jnp.asarray(_rand(3, 3, 8, 8, seed=33)) * 0.1,
+                   "bias": jnp.asarray(_rand(8, seed=34))},
+    }
+    xp = jnp.asarray(_rand(1, 8, 8, 32, seed=35))
+    r = jnp.asarray(_rand(1, 8, 8, 32, seed=36))
+    got = fg._lateral_packed(p, xp, residual=r)
+    ref = fg._lateral_packed(p, xp) + r
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

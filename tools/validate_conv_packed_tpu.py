@@ -100,9 +100,11 @@ if __name__ == "__main__":
     import threading
 
     def _watchdog():
+        # warn-only: hard-exiting a process blocked in a TPU RPC wedges the
+        # remote server for hours (see CLAUDE.md) — never _os._exit here
         time.sleep(560)
-        print("WATCHDOG: still running after 560s", flush=True)
-        _os._exit(3)
+        print("WATCHDOG: still running after 560s (letting it finish)",
+              flush=True)
 
     threading.Thread(target=_watchdog, daemon=True).start()
     main()

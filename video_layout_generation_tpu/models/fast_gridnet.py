@@ -34,11 +34,30 @@ def _prelu(x, alpha):
 
 
 def _conv_std(x, w, b, stride=1):
+    if (stride == 1 and w.shape[0] == 3 and w.shape[1] == 3
+            and _use_w1x2(x.shape, w.shape)):
+        from ..ops.pallas.conv1x2 import conv3x3_w1x2
+        return conv3x3_w1x2(x, w.astype(x.dtype), b)
     y = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype)
     return y + b.astype(y.dtype)
+
+
+def _use_w1x2(xshape, wshape) -> bool:
+    """Route C=64-class rows through the 1x2 width-packed sparse kernel
+    (ops/pallas/conv1x2.py). OPT-IN via VLG_W1X2=1: at the rollout row-1
+    shape (batch 128 @128px) XLA's C=64 conv reaches 79 TF/s and the 1x2
+    kernel measured 0.69x of it — the kernel only wins at training-step
+    shapes (b16 @256px: 1.26x), where HNED/VGG use it directly."""
+    import os
+    if os.environ.get("VLG_W1X2", "0") != "1":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return (xshape[2] % 2 == 0 and (2 * wshape[2]) % 128 == 0
+            and (2 * wshape[3]) % 128 == 0)
 
 
 def _lateral_std(p, x):
@@ -51,18 +70,48 @@ def _lateral_std(p, x):
     return y
 
 
-def _lateral_packed(p, xp):
+def _sparse_fused_on() -> bool:
+    """Whether the fused sparse Pallas path runs (TPU backends only;
+    VLG_PACKED_SPARSE=0 disables — same switch as ops/packed.py)."""
+    import os
+    return (os.environ.get("VLG_PACKED_SPARSE", "1") != "0"
+            and jax.default_backend() in ("tpu", "axon"))
+
+
+def _lateral_packed(p, xp, residual=None):
+    """LateralBlock in packed row-0 space. ``residual`` (packed, output
+    shape) is the grid-fusion addend — fused into the final conv's f32
+    epilogue on the Pallas path, added after on the XLA path."""
     dt = xp.dtype
+    w0 = pack_kernel3x3(p["Conv_0"]["kernel"]).astype(dt)
+    w1 = pack_kernel3x3(p["Conv_1"]["kernel"]).astype(dt)
+    if (_sparse_fused_on() and xp.shape[-1] % 128 == 0
+            and w0.shape[-1] % 128 == 0 and w1.shape[-1] % 128 == 0):
+        from ..ops.pallas.conv_packed import (prelu_conv_packed3x3,
+                                              prelu_conv_packed3x3_res)
+        y = prelu_conv_packed3x3(xp, w0, p["Conv_0"]["bias"],
+                                 p["PReLU_0"]["alpha"])
+        s = residual
+        if "Conv_2" in p:
+            sc = conv_packed3x3(
+                xp, pack_kernel3x3(p["Conv_2"]["kernel"]).astype(dt),
+                p["Conv_2"]["bias"])
+            s = sc if s is None else s + sc
+        if s is None:
+            return prelu_conv_packed3x3(y, w1, p["Conv_1"]["bias"],
+                                        p["PReLU_1"]["alpha"])
+        return prelu_conv_packed3x3_res(y, w1, p["Conv_1"]["bias"],
+                                        p["PReLU_1"]["alpha"], s)
     y = _prelu(xp, p["PReLU_0"]["alpha"])
-    y = conv_packed3x3(y, pack_kernel3x3(p["Conv_0"]["kernel"]).astype(dt),
-                       p["Conv_0"]["bias"])
+    y = conv_packed3x3(y, w0, p["Conv_0"]["bias"])
     y = _prelu(y, p["PReLU_1"]["alpha"])
-    y = conv_packed3x3(y, pack_kernel3x3(p["Conv_1"]["kernel"]).astype(dt),
-                       p["Conv_1"]["bias"])
+    y = conv_packed3x3(y, w1, p["Conv_1"]["bias"])
     if "Conv_2" in p:
         y = y + conv_packed3x3(
             xp, pack_kernel3x3(p["Conv_2"]["kernel"]).astype(dt),
             p["Conv_2"]["bias"])
+    if residual is not None:
+        y = y + residual
     return y
 
 
@@ -94,16 +143,22 @@ def _up_std(p, x):
 
 def _up_to_packed(p, x):
     """UpSamplingBlock producing packed row-0 output: packed upsample then
-    packed convs."""
+    packed convs (fused PReLU+conv kernels on the Pallas path)."""
     dt = x.dtype
     y = packed_upsample2x_align(x)
+    w0 = pack_kernel3x3(p["Conv_0"]["kernel"]).astype(dt)
+    w1 = pack_kernel3x3(p["Conv_1"]["kernel"]).astype(dt)
+    if (_sparse_fused_on() and y.shape[-1] % 128 == 0
+            and w0.shape[-1] % 128 == 0 and w1.shape[-1] % 128 == 0):
+        from ..ops.pallas.conv_packed import prelu_conv_packed3x3
+        y = prelu_conv_packed3x3(y, w0, p["Conv_0"]["bias"],
+                                 p["PReLU_0"]["alpha"])
+        return prelu_conv_packed3x3(y, w1, p["Conv_1"]["bias"],
+                                    p["PReLU_1"]["alpha"])
     y = _prelu(y, p["PReLU_0"]["alpha"])
-    y = conv_packed3x3(y, pack_kernel3x3(p["Conv_0"]["kernel"]).astype(dt),
-                       p["Conv_0"]["bias"])
+    y = conv_packed3x3(y, w0, p["Conv_0"]["bias"])
     y = _prelu(y, p["PReLU_1"]["alpha"])
-    return conv_packed3x3(
-        y, pack_kernel3x3(p["Conv_1"]["kernel"]).astype(dt),
-        p["Conv_1"]["bias"])
+    return conv_packed3x3(y, w1, p["Conv_1"]["bias"])
 
 
 def _concat_packed(xp, cp, ci: int, cc: int):
@@ -175,8 +230,9 @@ def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
                 x2 = _lateral_std(C[f"lateral_2{i-1}"], x2)
                 x1 = (_up_std(C[f"up_1{i}"], x2)
                       + _lateral_std(C[f"lateral_1{i-1}"], x1))
-                x0 = (_up_to_packed(C[f"up_0{i}"], x1)
-                      + _lateral_packed(C[f"lateral_0{i-1}"], x0))
+                x0 = _lateral_packed(C[f"lateral_0{i-1}"], x0,
+                                     residual=_up_to_packed(C[f"up_0{i}"],
+                                                            x1))
 
         seg = unpack2x2(_lateral_packed(P["lateral_out_seg"], x0))
         img = unpack2x2(_lateral_packed(P["lateral_out_img"], x0))
@@ -221,8 +277,9 @@ def make_packed_rollout_fn(n_frames: int = 8,
                 x2 = _lateral_std(C[f"lateral_2{i-1}"], x2)
                 x1 = (_up_std(C[f"up_1{i}"], x2)
                       + _lateral_std(C[f"lateral_1{i-1}"], x1))
-                x0 = (_up_to_packed(C[f"up_0{i}"], x1)
-                      + _lateral_packed(C[f"lateral_0{i-1}"], x0))
+                x0 = _lateral_packed(C[f"lateral_0{i-1}"], x0,
+                                     residual=_up_to_packed(C[f"up_0{i}"],
+                                                            x1))
         segp = _lateral_packed(P["lateral_out_seg"], x0)   # (.., 4*seg_out)
         imgp = _lateral_packed(P["lateral_out_img"], x0)   # (.., 4*3)
         return segp, imgp

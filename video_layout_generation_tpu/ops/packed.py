@@ -115,9 +115,11 @@ def pack_kernel3x3_stride2(w: jnp.ndarray) -> jnp.ndarray:
 
 def _use_sparse_kernel(c4in: int, c4out: int) -> bool:
     """Dispatch the block-sparse Pallas kernel (ops/pallas/conv_packed.py)
-    on TPU for lane-aligned packed channel counts — it runs 2.67x logical
-    FLOPs vs the dense packed conv's 4x. Trace-time decision (backend is
-    known when tracing). VLG_PACKED_SPARSE=0 disables."""
+    on TPU for lane-aligned packed channel counts — 2.67x logical FLOPs vs
+    the dense packed conv's 4x; measured 1.26x on v5e at the rollout row-0
+    shape with exact fp32 numerics (tools/validate_sparse_convs_tpu.py).
+    Trace-time decision (backend is known when tracing).
+    VLG_PACKED_SPARSE=0 disables."""
     import os
 
     import jax as _jax
@@ -183,3 +185,56 @@ def packed_upsample2x_align(x: jnp.ndarray) -> jnp.ndarray:
             phases.append(jnp.einsum("qw,bpwc->bpqc", mw, ry,
                                      preferred_element_type=x.dtype))
     return jnp.concatenate(phases, axis=-1)
+
+
+# ---- 1x2 (width-only) space-to-depth -------------------------------------
+#
+# dx-major channel order (packed ch = dx*C + c) makes the pack/unpack a pure
+# reshape in NHWC — adjacent pixel pairs are already channel-contiguous in
+# memory — so wrapping a conv in pack1x2/unpack1x2 is free. Used to run
+# C=64 rows (GridNet row 1, reference src/models/gridnet.py:9-16; HNED/VGG
+# stage-1) as lane-filling C=128 convs. Same tap identity as 2x2 on the x
+# axis only: kx = 2q+1+d-e.
+
+
+def pack1x2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, 2W, C) -> (B, H, W, 2C), dx-major channels. Pure reshape."""
+    b, h, w2, c = x.shape
+    return x.reshape(b, h, w2 // 2, 2 * c)
+
+
+def unpack1x2(y: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 2C) -> (B, H, 2W, C). Pure reshape."""
+    b, h, w, c2 = y.shape
+    return y.reshape(b, h, 2 * w, c2 // 2)
+
+
+def pack_kernel3x3_1x2(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) logical kernel -> (3,3,2Ci,2Co) width-packed kernel.
+
+    y axis untouched; x axis follows the stride-1 tap identity, so the
+    qx=-1 plane is nonzero only in its d=1 input rows and qx=+1 only in
+    d=0 (the block sparsity ops/pallas/conv1x2.py exploits).
+    """
+    _, _, ci, co = w.shape
+    taps = _axis_taps_s1()
+    out = jnp.zeros((3, 3, 2 * ci, 2 * co), w.dtype)
+    for ky in range(3):
+        for ex in (0, 1):
+            for dx in (0, 1):
+                for qx, kx in taps[(ex, dx)]:
+                    out = out.at[ky, qx + 1, dx * ci:(dx + 1) * ci,
+                                 ex * co:(ex + 1) * co].set(w[ky, kx])
+    return out
+
+
+def conv_packed1x2_dense(x: jnp.ndarray, w_packed: jnp.ndarray,
+                         bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Width-packed stride-1 conv (dense XLA); bias is logical (Co,)."""
+    y = jax.lax.conv_general_dilated(
+        x, w_packed, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, 2).astype(y.dtype)
+    return y

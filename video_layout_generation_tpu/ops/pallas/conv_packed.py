@@ -14,9 +14,9 @@ This kernel exploits the block structure. Group taps by the row shift qy:
   qy = -1: only the dy=1 phase blocks of row y-1      (high 2C lanes)
   qy = +1: only the dy=0 phase blocks of row y+1      (low 2C lanes)
 
-so rows y-1 and y+1 contribute *complementary lane halves* — a single
-lane-wise select merges them into one full-width operand with no lane
-shuffles. The x-axis shifts are folded through the output dimension: each
+so rows y-1 and y+1 contribute *complementary lane halves* — a lane-slice
+concat merges them into one full-width operand (one aligned half-tile copy
+each). The x-axis shifts are folded through the output dimension: each
 of the two operands hits a (4C, 3·4Co) weight matrix (the three qx tap
 planes stacked along columns), and the three column blocks are re-aligned
 with two shifted adds. Net cost: two K=4C MXU dots per tile = 2.67x logical
@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ..packed import conv_packed3x3 as _xla_conv_packed3x3
+from ..packed import conv_packed3x3_dense as _xla_conv_packed3x3
 
 
 def wmats_from_packed(wp: jnp.ndarray):
@@ -75,9 +75,10 @@ def _kernel(x_top_ref, x_mid_ref, x_bot_ref, wa_ref, wb_ref, b_ref, out_ref):
     up = jnp.concatenate([top, mid[:-1]], axis=0)          # row y-1
     dn = jnp.concatenate([mid[1:], bot], axis=0)           # row y+1
     # complementary halves: dy=0 blocks (low 2Ci) from y+1, dy=1 blocks
-    # (high 2Ci) from y-1 — one vector select, no lane movement
-    lane = jax.lax.broadcasted_iota(jnp.int32, (th, w, c4), 2)
-    updn = jnp.where(lane < c2, dn, up)
+    # (high 2Ci) from y-1. NOTE: expressed as a lane-slice concat, NOT an
+    # iota+where lane select — the select lowers correctly but its Mosaic
+    # compile takes minutes (tools/bisect_mosaic_compile.py) vs <1s here.
+    updn = jnp.concatenate([dn[:, :, :c2], up[:, :, c2:]], axis=-1)
 
     y = jnp.dot(mid.reshape(th * w, c4), wa_ref[...],
                 preferred_element_type=jnp.float32)
@@ -135,7 +136,7 @@ def _fwd_impl(xp, wp, bias, tile_h: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def conv_packed3x3_sparse(xp, wp, bias, tile_h: int = 16):
+def conv_packed3x3_sparse(xp, wp, bias, tile_h: int = 32):
     """Packed-space stride-1 3x3 conv (+ logical bias), sparse-aware.
 
     Drop-in for ops.packed.conv_packed3x3 when ``supported()`` holds:
@@ -165,3 +166,178 @@ conv_packed3x3_sparse.defvjp(_fwd, _bwd)
 def supported(c4in: int, c4out: int) -> bool:
     """Lane-aligned packed channel counts the kernel handles."""
     return c4in % 128 == 0 and c4out % 128 == 0
+
+
+# ---- fused PReLU -> conv (-> + residual) ---------------------------------
+#
+# End-to-end the bare sparse conv LOSES to XLA's dense packed conv (0.94x
+# measured on the full rollout) even though it wins 1.26x in isolation: XLA
+# fuses the executor's PReLU / grid-add elementwise ops into its conv
+# loops, while a pallas_call boundary forces them into separate HBM-bound
+# passes (~1.3 ms per elementwise pass at the batch-128 rollout shape, vs
+# ~4 ms per conv). These variants pull the preceding PReLU (scalar alpha,
+# reference nn.PReLU default) and the additive grid fusion into the kernel
+# so the packed executor crosses HBM exactly once per conv.
+
+
+def _make_fused_kernel(act: bool, res: bool):
+    def kernel(*refs):
+        x_top_ref, x_mid_ref, x_bot_ref, wa_ref, wb_ref, b_ref = refs[:6]
+        i = 6
+        a_ref = None
+        r_ref = None
+        if act:
+            a_ref = refs[i]
+            i += 1
+        if res:
+            r_ref = refs[i]
+            i += 1
+        out_ref = refs[-1]
+
+        th = x_mid_ref.shape[1]
+        w = x_mid_ref.shape[2]
+        c4 = x_mid_ref.shape[3]
+        c2 = c4 // 2
+        co4 = out_ref.shape[3]
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+
+        top = x_top_ref[0]
+        bot = x_bot_ref[0]
+        top = jnp.where(j == 0, jnp.zeros_like(top), top)
+        bot = jnp.where(j == nj - 1, jnp.zeros_like(bot), bot)
+        mid = x_mid_ref[0]
+        if act:
+            # compare in f32: Mosaic rejects bf16 cmpf on this target; the
+            # multiply stays in the input dtype (bit-matches the XLA path)
+            a = a_ref[0, 0].astype(mid.dtype)
+
+            def _prelu_t(z):
+                return jnp.where(z.astype(jnp.float32) >= 0, z, a * z)
+
+            mid = _prelu_t(mid)
+            top = _prelu_t(top)
+            bot = _prelu_t(bot)
+
+        up = jnp.concatenate([top, mid[:-1]], axis=0)
+        dn = jnp.concatenate([mid[1:], bot], axis=0)
+        updn = jnp.concatenate([dn[:, :, :c2], up[:, :, c2:]], axis=-1)
+
+        y = jnp.dot(mid.reshape(th * w, c4), wa_ref[...],
+                    preferred_element_type=jnp.float32)
+        y = y + jnp.dot(updn.reshape(th * w, c4), wb_ref[...],
+                        preferred_element_type=jnp.float32)
+        y = y.reshape(th, w, 3 * co4)
+
+        zc = jnp.zeros((th, 1, co4), jnp.float32)
+        out = (y[:, :, co4:2 * co4]
+               + jnp.concatenate([zc, y[:, :-1, :co4]], axis=1)
+               + jnp.concatenate([y[:, 1:, 2 * co4:], zc], axis=1))
+        out = out + b_ref[...].astype(jnp.float32)
+        if res:
+            out = out + r_ref[0].astype(jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _fused_impl(xp, wp, bias, alpha, residual, tile_h: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, c4 = xp.shape
+    co4 = wp.shape[-1]
+    th = min(tile_h, h)
+    while h % th:
+        th //= 2
+    nj = h // th
+
+    wa, wb = wmats_from_packed(wp.astype(xp.dtype))
+    b4 = (jnp.zeros((1, co4), jnp.float32) if bias is None
+          else jnp.tile(bias.astype(jnp.float32), 4).reshape(1, co4))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, w, c4),
+                     lambda i, j: (i, jnp.maximum(j * th - 1, 0), 0, 0)),
+        pl.BlockSpec((1, th, w, c4), lambda i, j: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, w, c4),
+                     lambda i, j: (i, jnp.minimum(j * th + th, h - 1),
+                                   0, 0)),
+        pl.BlockSpec((c4, 3 * co4), lambda i, j: (0, 0)),
+        pl.BlockSpec((c4, 3 * co4), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, co4), lambda i, j: (0, 0)),
+    ]
+    args = [xp, xp, xp, wa, wb, b4]
+    if alpha is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(alpha, jnp.float32).reshape(1, 1))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, th, w, co4),
+                                     lambda i, j: (i, j, 0, 0)))
+        args.append(residual)
+
+    return pl.pallas_call(
+        _make_fused_kernel(alpha is not None, residual is not None),
+        grid=(n, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, w, co4), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co4), xp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * c4 * 3 * co4 * 2,
+            bytes_accessed=(n * h * w * (c4 + co4) * xp.dtype.itemsize
+                            + 2 * c4 * 3 * co4 * xp.dtype.itemsize),
+            transcendentals=0),
+    )(*args)
+
+
+def _prelu_ref(xp, alpha):
+    a = alpha.astype(xp.dtype)
+    return jnp.where(xp >= 0, xp, a * xp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def prelu_conv_packed3x3(xp, wp, bias, alpha, tile_h: int = 32):
+    """Fused conv(prelu(x, alpha)) in packed space; bias logical (Co,),
+    alpha the reference's scalar PReLU parameter."""
+    return _fused_impl(xp, wp, bias, alpha, None, tile_h)
+
+
+def _pc_fwd(xp, wp, bias, alpha, tile_h):
+    return _fused_impl(xp, wp, bias, alpha, None, tile_h), (xp, wp, bias,
+                                                            alpha)
+
+
+def _pc_bwd(tile_h, resids, g):
+    xp, wp, bias, alpha = resids
+    _, vjp = jax.vjp(
+        lambda x, w, b, a: _xla_conv_packed3x3(_prelu_ref(x, a), w, b),
+        xp, wp, bias, alpha)
+    return vjp(g)
+
+
+prelu_conv_packed3x3.defvjp(_pc_fwd, _pc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def prelu_conv_packed3x3_res(xp, wp, bias, alpha, residual,
+                             tile_h: int = 32):
+    """Fused conv(prelu(x, alpha)) + residual — the packed grid-fusion add
+    (reference src/models/gridnet.py:43-58) folded into the kernel's f32
+    epilogue."""
+    return _fused_impl(xp, wp, bias, alpha, residual, tile_h)
+
+
+def _pcr_fwd(xp, wp, bias, alpha, residual, tile_h):
+    return (_fused_impl(xp, wp, bias, alpha, residual, tile_h),
+            (xp, wp, bias, alpha, residual))
+
+
+def _pcr_bwd(tile_h, resids, g):
+    xp, wp, bias, alpha, residual = resids
+    _, vjp = jax.vjp(
+        lambda x, w, b, a, r:
+        _xla_conv_packed3x3(_prelu_ref(x, a), w, b) + r.astype(x.dtype),
+        xp, wp, bias, alpha, residual)
+    return vjp(g)
+
+
+prelu_conv_packed3x3_res.defvjp(_pcr_fwd, _pcr_bwd)
