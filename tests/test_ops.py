@@ -135,3 +135,45 @@ def test_schedules_match_torch_policies():
     ps = PlateauScheduler(base, patience=2)
     lrs = [ps.update(1.0) for _ in range(5)]
     assert lrs[-1] < base
+
+
+def test_upsample2x_stencil_matches_matrix_form():
+    # the banded stencil (ops/resize.py) must reproduce the interpolation
+    # matrix bitwise in fp32 — same coefficients, two nonzero taps per row
+    import numpy as np
+    from video_layout_generation_tpu.ops.resize import (
+        _apply_separable, interp_matrix, upsample2x_bilinear_align_stencil,
+        upsample2x_phases)
+    from video_layout_generation_tpu.ops.packed import (
+        pack2x2, packed_upsample2x_align, packed_upsample2x_align_einsum)
+    rng = np.random.default_rng(7)
+    for h, w in ((8, 12), (1, 4), (5, 7)):
+        x = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+        ref = _apply_separable(x, interp_matrix(h, 2 * h, "bilinear", True),
+                               interp_matrix(w, 2 * w, "bilinear", True),
+                               exact=True)
+        got = upsample2x_bilinear_align_stencil(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+    # packed form == pack2x2 of the full upsample, and == einsum form
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(packed_upsample2x_align(x)),
+        np.asarray(packed_upsample2x_align_einsum(x)), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(packed_upsample2x_align(x)),
+        np.asarray(pack2x2(upsample2x_bilinear_align_stencil(x))),
+        atol=1e-6)
+
+
+def test_upsample2x_stencil_grad():
+    import numpy as np
+    from video_layout_generation_tpu.ops.resize import (
+        upsample2x_bilinear_align, upsample2x_bilinear_align_stencil)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 2)).astype(np.float32))
+    g1 = jax.grad(lambda z: jnp.sum(
+        upsample2x_bilinear_align(z, exact=True) ** 2))(x)
+    g2 = jax.grad(lambda z: jnp.sum(
+        upsample2x_bilinear_align_stencil(z) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)

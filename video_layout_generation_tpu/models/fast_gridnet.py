@@ -20,9 +20,10 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.packed import (conv_packed3x3, conv_packed_stride2, pack2x2,
-                          pack_kernel3x3, pack_kernel3x3_stride2,
-                          packed_upsample2x_align, unpack2x2)
+from ..ops.packed import (conv_packed3x3, conv_packed3x3_dense,
+                          conv_packed_stride2, pack2x2, pack_kernel3x3,
+                          pack_kernel3x3_stride2, packed_upsample2x_align,
+                          unpack2x2)
 from ..ops.resize import upsample2x_bilinear_align
 
 Dtype = Any
@@ -72,9 +73,10 @@ def _lateral_std(p, x):
 
 def _sparse_fused_on() -> bool:
     """Whether the fused sparse Pallas path runs (TPU backends only;
-    VLG_PACKED_SPARSE=0 disables — same switch as ops/packed.py)."""
+    OPT-IN via VLG_PACKED_SPARSE=1 — measured slower end to end than the
+    fully-fusable XLA dense path; see ops/packed._use_sparse_kernel)."""
     import os
-    return (os.environ.get("VLG_PACKED_SPARSE", "1") != "0"
+    return (os.environ.get("VLG_PACKED_SPARSE", "0") == "1"
             and jax.default_backend() in ("tpu", "axon"))
 
 
@@ -143,12 +145,21 @@ def _up_std(p, x):
 
 def _up_to_packed(p, x):
     """UpSamplingBlock producing packed row-0 output: packed upsample then
-    packed convs (fused PReLU+conv kernels on the Pallas path)."""
+    packed convs.
+
+    The upsample is the banded-stencil form (ops/packed.py) — pure
+    elementwise blends that XLA fuses into the following DENSE conv, so by
+    default this block stays entirely on the XLA path even when the
+    laterals run Pallas (measured: stencil+dense 823 fps vs stencil+Pallas
+    483 — a pallas_call boundary forces the blend chain to materialize).
+    VLG_SPARSE_UP=1 re-enables the fused kernels here for experiments."""
+    import os
     dt = x.dtype
     y = packed_upsample2x_align(x)
     w0 = pack_kernel3x3(p["Conv_0"]["kernel"]).astype(dt)
     w1 = pack_kernel3x3(p["Conv_1"]["kernel"]).astype(dt)
-    if (_sparse_fused_on() and y.shape[-1] % 128 == 0
+    if (os.environ.get("VLG_SPARSE_UP", "0") == "1" and _sparse_fused_on()
+            and y.shape[-1] % 128 == 0
             and w0.shape[-1] % 128 == 0 and w1.shape[-1] % 128 == 0):
         from ..ops.pallas.conv_packed import prelu_conv_packed3x3
         y = prelu_conv_packed3x3(y, w0, p["Conv_0"]["bias"],
@@ -156,9 +167,9 @@ def _up_to_packed(p, x):
         return prelu_conv_packed3x3(y, w1, p["Conv_1"]["bias"],
                                     p["PReLU_1"]["alpha"])
     y = _prelu(y, p["PReLU_0"]["alpha"])
-    y = conv_packed3x3(y, w0, p["Conv_0"]["bias"])
+    y = conv_packed3x3_dense(y, w0, p["Conv_0"]["bias"])
     y = _prelu(y, p["PReLU_1"]["alpha"])
-    return conv_packed3x3(y, w1, p["Conv_1"]["bias"])
+    return conv_packed3x3_dense(y, w1, p["Conv_1"]["bias"])
 
 
 def _concat_packed(xp, cp, ci: int, cc: int):

@@ -115,15 +115,17 @@ def pack_kernel3x3_stride2(w: jnp.ndarray) -> jnp.ndarray:
 
 def _use_sparse_kernel(c4in: int, c4out: int) -> bool:
     """Dispatch the block-sparse Pallas kernel (ops/pallas/conv_packed.py)
-    on TPU for lane-aligned packed channel counts — 2.67x logical FLOPs vs
-    the dense packed conv's 4x; measured 1.26x on v5e at the rollout row-0
-    shape with exact fp32 numerics (tools/validate_sparse_convs_tpu.py).
-    Trace-time decision (backend is known when tracing).
-    VLG_PACKED_SPARSE=0 disables."""
+    for lane-aligned packed channel counts. OPT-IN via VLG_PACKED_SPARSE=1:
+    the kernel wins 1.26x in isolation (2.67x logical FLOPs vs dense 4x,
+    exact numerics — tools/validate_sparse_convs_tpu.py) but LOSES end to
+    end (765 vs 825 fps rollout): each pallas_call boundary cuts XLA's
+    elementwise-into-conv fusion across the surrounding graph, which is
+    worth more than the kernel's FLOP savings. Kept for experiments and as
+    the substrate for future whole-block mega-kernels."""
     import os
 
     import jax as _jax
-    if os.environ.get("VLG_PACKED_SPARSE", "1") == "0":
+    if os.environ.get("VLG_PACKED_SPARSE", "0") != "1":
         return False
     if _jax.default_backend() not in ("tpu", "axon"):
         return False
@@ -173,7 +175,18 @@ def _phase_matrices(in_size: int):
 
 def packed_upsample2x_align(x: jnp.ndarray) -> jnp.ndarray:
     """Align-corners bilinear x2 of (B,H,W,C), emitted directly in packed
-    layout (B,H,W,4C) — equivalent to pack2x2(upsample2x(x))."""
+    layout (B,H,W,4C) — equivalent to pack2x2(upsample2x(x)).
+
+    Banded stencil form: the x2 matrix is 3-banded around r//2, so each
+    phase is a shifted elementwise blend (ops/resize.upsample2x_phases) —
+    measured 4.9 ms -> sub-ms vs the dense einsum at the b=128 rollout
+    shape."""
+    from .resize import upsample2x_phases
+    return jnp.concatenate(upsample2x_phases(x, True), axis=-1)
+
+
+def packed_upsample2x_align_einsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Dense-matmul reference implementation (kept for parity tests)."""
     b, h, w, c = x.shape
     ah0, ah1 = (jnp.asarray(m, x.dtype) for m in _phase_matrices(h))
     aw0, aw1 = (jnp.asarray(m, x.dtype) for m in _phase_matrices(w))
