@@ -113,3 +113,20 @@ def test_supported():
     assert not m.supported(128, 127, 64, 64)    # odd width
     assert not m.supported(128, 128, 96, 96)    # 2C=192 not lane-aligned
     assert not m.supported(128, 128, 64, 32)    # 2Co=64
+
+
+def test_conv3x3_w2_fwd_and_bwd_match_std():
+    # forward: packed == standard conv; backward: exactly the standard
+    # conv's VJP (ops/packed.conv3x3_w2)
+    from video_layout_generation_tpu.ops.packed import conv3x3_w2
+    x = jnp.asarray(_rand(2, 8, 16, 64, seed=40))
+    k = jnp.asarray(_rand(3, 3, 64, 64, seed=41)) * 0.05
+    b = jnp.asarray(_rand(64, seed=42))
+    np.testing.assert_allclose(np.asarray(conv3x3_w2(x, k, b)),
+                               np.asarray(_conv(x, k, b)), atol=1e-4)
+    gp = jax.grad(lambda *a: jnp.sum(conv3x3_w2(*a) ** 2),
+                  argnums=(0, 1, 2))(x, k, b)
+    gr = jax.grad(lambda *a: jnp.sum(_conv(*a) ** 2),
+                  argnums=(0, 1, 2))(x, k, b)
+    for a, r in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-3)

@@ -40,9 +40,10 @@ class VGG19Features(nn.Module):
             if b > 0:
                 x = max_pool_2x2(x)
             for j, f in enumerate(widths):
-                x = nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
-                            kernel_init=nn.initializers.he_normal(),
-                            name=f"conv{b+1}_{j+1}")(x)
+                from ..models.blocks import WidthPackedConv3x3
+                x = WidthPackedConv3x3(
+                    f, dtype=dt, kernel_init=nn.initializers.he_normal(),
+                    name=f"conv{b+1}_{j+1}")(x)
                 x = nn.relu(x)
         return x
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.coords import add_coord_channels
@@ -150,3 +151,36 @@ class CoordUpSamplingBlock(nn.Module):
         y = PReLU()(y)
         y = CoordConv(self.out_ch, dtype=self.dtype)(y)
         return y
+
+
+class WidthPackedConv3x3(nn.Module):
+    """3x3 stride-1 SAME conv, param-compatible with ``nn.Conv`` (same
+    "kernel"/"bias" names, shapes, and default init), that executes in 1x2
+    width-packed space when ``ops.packed.use_w2_dense`` fires — the
+    C64-at-high-resolution shapes (HNED/VGG stage 1) where a standard conv
+    leaves half the MXU lanes idle. The packing is a free NHWC reshape and
+    the packed kernel is an exact re-indexing, so results match the
+    standard conv up to bf16 rounding; everything stays on the XLA path
+    (elementwise fusion preserved)."""
+    features: int
+    dtype: Optional[Dtype] = None
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.packed import conv3x3_w2, use_w2_dense
+        cin = x.shape[-1]
+        k = self.param("kernel", self.kernel_init,
+                       (3, 3, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,))
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        if use_w2_dense(x.shape[-2], cin, self.features):
+            # packed forward, standard-conv backward (ops/packed.conv3x3_w2)
+            return conv3x3_w2(x, k.astype(dt), b)
+        y = jax.lax.conv_general_dilated(
+            x, k.astype(dt), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt)
+        return y + b.astype(dt)

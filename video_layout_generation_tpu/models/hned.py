@@ -51,8 +51,10 @@ class HNED(nn.Module):
         x = x.astype(dt) if dt is not None else x
 
         def conv(n, feats, k=3):
-            pad = ((k // 2, k // 2), (k // 2, k // 2)) if k > 1 else "VALID"
-            return nn.Conv(feats, (k, k), padding=pad, dtype=dt, name=n)
+            if k == 3:
+                from .blocks import WidthPackedConv3x3
+                return WidthPackedConv3x3(feats, dtype=dt, name=n)
+            return nn.Conv(feats, (k, k), padding="VALID", dtype=dt, name=n)
 
         def stage(x, name, widths, pool):
             if pool:

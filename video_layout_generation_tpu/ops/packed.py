@@ -251,3 +251,53 @@ def conv_packed1x2_dense(x: jnp.ndarray, w_packed: jnp.ndarray,
     if bias is not None:
         y = y + jnp.tile(bias, 2).astype(y.dtype)
     return y
+
+
+def use_w2_dense(width: int, cin: int, cout: int) -> bool:
+    """Dispatch gate for the DENSE 1x2 width-packed conv (pure XLA, free
+    reshape packing). OPT-IN via VLG_W2_DENSE=1: the conv wins 1.43x in
+    isolation at the C64 @256px training shape (39 -> 56 TF/s) but the
+    full training step measured SLOWER with it (142.5 vs 135.5 ms/step,
+    even with a standard-conv custom VJP) — in-context XLA fusion around
+    the standard conv outweighs the isolated gain, the same finding as the
+    Pallas sparse kernels (BENCH_NOTES.md)."""
+    import os
+
+    import jax as _jax
+    if os.environ.get("VLG_W2_DENSE", "0") != "1":
+        return False
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return width % 2 == 0 and width >= 256 and cout == 64 and cin <= 64
+
+
+@jax.custom_vjp
+def conv3x3_w2(x: jnp.ndarray, k: jnp.ndarray,
+               b: jnp.ndarray) -> jnp.ndarray:
+    """Standard-layout 3x3 SAME conv whose FORWARD runs 1x2 width-packed
+    (1.43x at C64 @256px) while the BACKWARD is the standard conv's VJP —
+    the packed conv's transposed-conv VJP measured slower than standard,
+    cancelling the forward win in the training step."""
+    return unpack1x2(conv_packed1x2_dense(pack1x2(x),
+                                          pack_kernel3x3_1x2(k), b))
+
+
+def _conv3x3_std(x, k, b):
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    return y + b.astype(y.dtype)
+
+
+def _w2_fwd(x, k, b):
+    return conv3x3_w2(x, k, b), (x, k, b)
+
+
+def _w2_bwd(res, g):
+    x, k, b = res
+    _, vjp = jax.vjp(_conv3x3_std, x, k, b)
+    return vjp(g)
+
+
+conv3x3_w2.defvjp(_w2_fwd, _w2_bwd)
