@@ -1,67 +1,48 @@
-"""Packed (space-to-depth) GridNet executor == flax GridNet, exactly.
+"""1x2 width-packed GridNet executor == flax GridNet, exactly.
 
-The packed kernels are a re-indexing of the logical kernels, so in fp32 the
-two programs must agree to float tolerance (ops/packed.py derivation)."""
+Same parity contract as tests/test_packed_gridnet.py for the 2x2 scheme:
+the width-packed kernels are a re-indexing of the logical kernels, so in
+fp32 the two programs agree to float tolerance."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from video_layout_generation_tpu.models import GridNet
-from video_layout_generation_tpu.models.fast_gridnet import (
-    make_packed_gridnet_apply)
-from video_layout_generation_tpu.ops.packed import (pack2x2, pack_kernel3x3,
-                                                    pack_kernel3x3_stride2,
-                                                    packed_upsample2x_align,
-                                                    unpack2x2)
-from video_layout_generation_tpu.ops.resize import upsample2x_bilinear_align
+from video_layout_generation_tpu.models.fast_gridnet_w2 import (
+    make_packed_gridnet_apply, make_packed_rollout_fn)
+from video_layout_generation_tpu.ops.packed import (
+    conv_packed1x2_stride2, pack1x2, pack_kernel3x3_1x2_stride2)
+from video_layout_generation_tpu.ops.resize import (
+    upsample2x_align_to_1x2, upsample2x_bilinear_align)
 
 
-def test_pack_unpack_roundtrip():
-    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
-    np.testing.assert_array_equal(np.asarray(unpack2x2(pack2x2(x))),
-                                  np.asarray(x))
-
-
-def test_packed_conv3x3_exact():
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((2, 16, 16, 5)).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32))
-    ref = jax.lax.conv_general_dilated(
-        x, w, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    from video_layout_generation_tpu.ops.packed import conv_packed3x3
-    got = unpack2x2(conv_packed3x3(pack2x2(x), pack_kernel3x3(w)))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
-
-
-def test_packed_stride2_exact():
+def test_1x2_stride2_exact():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((3, 3, 4, 6)).astype(np.float32))
     ref = jax.lax.conv_general_dilated(
         x, w, (2, 2), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    from video_layout_generation_tpu.ops.packed import conv_packed_stride2
-    got = conv_packed_stride2(pack2x2(x), pack_kernel3x3_stride2(w))
+    got = conv_packed1x2_stride2(pack1x2(x), pack_kernel3x3_1x2_stride2(w))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
-def test_packed_upsample_matches():
+def test_upsample_to_1x2_matches():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
-    ref = pack2x2(upsample2x_bilinear_align(x, exact=True))
-    got = packed_upsample2x_align(x)
+    ref = pack1x2(upsample2x_bilinear_align(x, exact=True))
+    got = upsample2x_align_to_1x2(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-def test_packed_gridnet_matches_flax():
+def test_w2_gridnet_matches_flax():
     model = GridNet(n_channels=8, filters_level=(4, 6, 8))
     x = jnp.asarray(np.random.default_rng(3)
                     .standard_normal((2, 16, 16, 8)).astype(np.float32))
     variables = jax.jit(model.init)(jax.random.key(0), x)
     seg_ref, img_ref = jax.jit(model.apply)(variables, x)
-    fast = make_packed_gridnet_apply(dtype=jnp.float32, packing="2x2")
+    fast = make_packed_gridnet_apply(dtype=jnp.float32)
     seg, img = jax.jit(fast)(variables, x)
     np.testing.assert_allclose(np.asarray(seg), np.asarray(seg_ref),
                                atol=2e-4)
@@ -69,13 +50,13 @@ def test_packed_gridnet_matches_flax():
                                atol=2e-4)
 
 
-def test_packed_coordgridnet_matches_flax():
+def test_w2_coordgridnet_matches_flax():
     model = GridNet(n_channels=10, filters_level=(4, 6, 8), coord_in=True)
     x = jnp.asarray(np.random.default_rng(4)
                     .standard_normal((2, 16, 16, 10)).astype(np.float32))
     variables = jax.jit(model.init)(jax.random.key(0), x)
     seg_ref, img_ref = jax.jit(model.apply)(variables, x)
-    fast = make_packed_gridnet_apply(dtype=jnp.float32, coord_in=True, packing="2x2")
+    fast = make_packed_gridnet_apply(dtype=jnp.float32, coord_in=True)
     seg, img = jax.jit(fast)(variables, x)
     np.testing.assert_allclose(np.asarray(seg), np.asarray(seg_ref),
                                atol=2e-4)
@@ -83,14 +64,12 @@ def test_packed_coordgridnet_matches_flax():
                                atol=2e-4)
 
 
-def test_packed_gridnet_grads_match_flax():
-    # training through the packed executor: grads w.r.t. the logical params
-    # must equal grads through the flax module
+def test_w2_gridnet_grads_match_flax():
     model = GridNet(n_channels=8, filters_level=(4, 6, 8))
     x = jnp.asarray(np.random.default_rng(5)
                     .standard_normal((1, 16, 16, 8)).astype(np.float32))
     variables = jax.jit(model.init)(jax.random.key(0), x)
-    fast = make_packed_gridnet_apply(dtype=jnp.float32, packing="2x2")
+    fast = make_packed_gridnet_apply(dtype=jnp.float32)
 
     def loss_ref(v):
         s, i = model.apply(v, x)
@@ -108,9 +87,7 @@ def test_packed_gridnet_grads_match_flax():
                                    atol=5e-3, rtol=1e-3)
 
 
-def test_fully_packed_rollout_matches_standard():
-    from video_layout_generation_tpu.models.fast_gridnet import (
-        make_packed_rollout_fn)
+def test_w2_rollout_matches_standard():
     from video_layout_generation_tpu.train.rollout import make_rollout_fn
 
     model = GridNet(n_channels=8, filters_level=(4, 6, 8))
@@ -125,7 +102,7 @@ def test_fully_packed_rollout_matches_standard():
 
     ref_ro = make_rollout_fn(model.apply, None, n_frames=3, use_edges=False)
     imgs_ref, segs_ref = ref_ro(variables, None, img1, img2, seg1, seg2)
-    fast_ro = make_packed_rollout_fn(n_frames=3, dtype=jnp.float32, packing="2x2")
+    fast_ro = make_packed_rollout_fn(n_frames=3, dtype=jnp.float32)
     imgs, segs = fast_ro(variables, img1, img2, seg1, seg2)
 
     np.testing.assert_allclose(np.asarray(imgs), np.asarray(imgs_ref),

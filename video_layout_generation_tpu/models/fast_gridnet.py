@@ -210,10 +210,26 @@ def _coord_lateral_packed(p, xp, cp):
     return y
 
 
+def _row0_packing(packing, default):
+    """Which space-to-depth scheme runs row 0. Measured on v5e: "1x2"
+    (width-only, free reshape) wins the forward-only rollout 939 vs 822
+    fps at b128, but the TRAINING step is faster with "2x2" (135.5 vs
+    153.4 ms/step at b16 — the 1x2 conv's VJP is slower) — so the rollout
+    entry defaults to "1x2" and the apply entry (train/eval) to "2x2".
+    Override per call or via VLG_ROW0_PACK."""
+    import os
+    return packing or os.environ.get("VLG_ROW0_PACK", default)
+
+
 def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
-                              n_col: int = 6, coord_in: bool = False):
+                              n_col: int = 6, coord_in: bool = False,
+                              packing: Optional[str] = None):
     """Build ``apply(variables, x) -> (seg_logits, img)`` matching
     ``GridNet.apply`` (coord_in=True for CoordGridNet's input stem)."""
+    if _row0_packing(packing, "2x2") == "1x2":
+        from . import fast_gridnet_w2
+        return fast_gridnet_w2.make_packed_gridnet_apply(
+            dtype=dtype, n_col=n_col, coord_in=coord_in)
 
     def apply(variables, x):
         P = variables["params"]
@@ -255,7 +271,7 @@ def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
 def make_packed_rollout_fn(n_frames: int = 8,
                            dtype: Optional[Dtype] = jnp.bfloat16,
                            coord_in: bool = False, n_col: int = 6,
-                           jit: bool = True):
+                           jit: bool = True, packing: Optional[str] = None):
     """Fully-packed autoregressive rollout (8-channel contract,
     train/rollout.py semantics): the feedback loop — argmax layout, output
     normalization, next-input assembly — stays in packed space, so the scan
@@ -265,6 +281,11 @@ def make_packed_rollout_fn(n_frames: int = 8,
     Returns rollout(variables, img1, img2, seg1, seg2) ->
       imgs (N, T, H, W, 3) normalized, segs (N, T, H, W, 1) float ids.
     """
+    if _row0_packing(packing, "1x2") == "1x2":
+        from . import fast_gridnet_w2
+        return fast_gridnet_w2.make_packed_rollout_fn(
+            n_frames=n_frames, dtype=dtype, coord_in=coord_in, n_col=n_col,
+            jit=jit)
     from ..train.assemble import OUT_MEAN, OUT_STD
 
     # run the grid on an already-packed input and emit packed heads

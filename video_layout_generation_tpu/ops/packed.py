@@ -301,3 +301,32 @@ def _w2_bwd(res, g):
 
 
 conv3x3_w2.defvjp(_w2_fwd, _w2_bwd)
+
+
+def pack_kernel3x3_1x2_stride2(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Ci,Co) stride-2 logical kernel -> (3,2,2Ci,Co) for a width-
+    packed input: y axis standard (stride 2), x axis follows the packed
+    stride-2 identity kx = 2q+d+1. Apply with strides (2,1) and padding
+    ((1,1),(1,0)); the output is at the downsampled standard resolution.
+    """
+    _, _, ci, co = w.shape
+    taps = _axis_taps_s2()
+    out = jnp.zeros((3, 2, 2 * ci, co), w.dtype)
+    for ky in range(3):
+        for dx in (0, 1):
+            for qx, kx in taps[dx]:
+                out = out.at[ky, qx + 1, dx * ci:(dx + 1) * ci, :].set(
+                    w[ky, kx])
+    return out
+
+
+def conv_packed1x2_stride2(x: jnp.ndarray, w_packed: jnp.ndarray,
+                           bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Width-packed input -> standard half-res output (logical stride-2)."""
+    y = jax.lax.conv_general_dilated(
+        x, w_packed, (2, 1), [(1, 1), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

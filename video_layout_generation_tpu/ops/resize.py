@@ -223,3 +223,17 @@ def upsample2x_bilinear_align_stencil(x: jnp.ndarray) -> jnp.ndarray:
     y = y.reshape(lead + (2, 2, h, w, c))
     y = jnp.moveaxis(y, (-5, -4), (-4, -2))         # (..., H, 2, W, 2, C)
     return y.reshape(lead + (2 * h, 2 * w, c))
+
+
+def upsample2x_align_to_1x2(x: jnp.ndarray) -> jnp.ndarray:
+    """x2 align-corners upsample of (..., H, W, C) emitted directly in 1x2
+    width-packed layout (..., 2H, W, 2C) — equivalent to
+    pack1x2(upsample2x_bilinear_align(x)). H phases interleave by reshape;
+    W phases land in dx-major lanes."""
+    e0, e1 = _upsample2x_axis_phases(x, -3, True)
+    y = jnp.stack([e0, e1], axis=-3)            # (..., H, 2, W, C)
+    lead = y.shape[:-4]
+    h, w, c = x.shape[-3], x.shape[-2], x.shape[-1]
+    y = y.reshape(lead + (2 * h, w, c))
+    q0, q1 = _upsample2x_axis_phases(y, -2, True)
+    return jnp.concatenate([q0, q1], axis=-1)

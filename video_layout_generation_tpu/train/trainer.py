@@ -162,8 +162,10 @@ class Trainer:
             rollout_apply = model_apply
             if fast_ok:
                 from ..models.fast_gridnet import make_packed_gridnet_apply
+                # rollout is forward-only -> the 1x2 scheme wins there
                 rollout_apply = make_packed_gridnet_apply(
-                    dtype=dtype, coord_in=(cfg.arch == "CoordGridNet"))
+                    dtype=dtype, coord_in=(cfg.arch == "CoordGridNet"),
+                    packing="1x2")
             self._rollout = make_rollout_fn(
                 rollout_apply, hned_apply, n_frames=cfg.rollout_frames,
                 use_edges=cfg.edge, edge_scale=cfg.rollout_edge_scale)
