@@ -108,3 +108,31 @@ def test_w2_rollout_matches_standard():
     np.testing.assert_allclose(np.asarray(imgs), np.asarray(imgs_ref),
                                atol=5e-4)
     np.testing.assert_array_equal(np.asarray(segs), np.asarray(segs_ref))
+
+
+def test_row0_pack_env_dispatch(monkeypatch):
+    # VLG_ROW0_PACK selects the executor scheme at both entry points
+    from video_layout_generation_tpu.models import (fast_gridnet,
+                                                    fast_gridnet_w2)
+    model = GridNet(n_channels=8, filters_level=(4, 6, 8))
+    x = jnp.asarray(np.random.default_rng(9)
+                    .standard_normal((1, 8, 8, 8)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+
+    monkeypatch.setenv("VLG_ROW0_PACK", "1x2")
+    a = fast_gridnet.make_packed_gridnet_apply(dtype=jnp.float32)
+    s1, _ = a(variables, x)
+    monkeypatch.setenv("VLG_ROW0_PACK", "2x2")
+    b = fast_gridnet.make_packed_gridnet_apply(dtype=jnp.float32)
+    s2, _ = b(variables, x)
+    sw, _ = fast_gridnet_w2.make_packed_gridnet_apply(
+        dtype=jnp.float32)(variables, x)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(sw), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-4)
+
+    # per-entry defaults: apply -> 2x2, rollout -> 1x2
+    monkeypatch.delenv("VLG_ROW0_PACK", raising=False)
+    from video_layout_generation_tpu.models.fast_gridnet import _row0_packing
+    assert _row0_packing(None, "2x2") == "2x2"
+    assert _row0_packing(None, "1x2") == "1x2"
+    assert _row0_packing("2x2", "1x2") == "2x2"

@@ -80,7 +80,7 @@ def main():
     times = {}
     for mode, env in (("dense", "0"), ("sparse", "1")):
         os.environ["VLG_PACKED_SPARSE"] = env
-        fn = make_packed_rollout_fn(n_frames=8)
+        fn = make_packed_rollout_fn(n_frames=8, packing="2x2")
         t0 = time.perf_counter()
         imgs, segs = fn(variables, img1, img2, seg1, seg2)
         s = float(imgs.astype(jnp.float32).sum()

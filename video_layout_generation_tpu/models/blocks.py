@@ -168,19 +168,20 @@ class WidthPackedConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from flax.linen import dtypes
         from ..ops.packed import conv3x3_w2, use_w2_dense
         cin = x.shape[-1]
         k = self.param("kernel", self.kernel_init,
                        (3, 3, cin, self.features))
         b = self.param("bias", nn.initializers.zeros_init(),
                        (self.features,))
-        dt = self.dtype or x.dtype
-        x = x.astype(dt)
+        # nn.Conv dtype semantics: dtype=None -> promote(x, params)
+        x, k, b = dtypes.promote_dtype(x, k, b, dtype=self.dtype)
         if use_w2_dense(x.shape[-2], cin, self.features):
             # packed forward, standard-conv backward (ops/packed.conv3x3_w2)
-            return conv3x3_w2(x, k.astype(dt), b)
+            return conv3x3_w2(x, k, b)
         y = jax.lax.conv_general_dilated(
-            x, k.astype(dt), (1, 1), [(1, 1), (1, 1)],
+            x, k, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=dt)
-        return y + b.astype(dt)
+            preferred_element_type=x.dtype)
+        return y + b

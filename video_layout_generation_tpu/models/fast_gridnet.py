@@ -216,9 +216,14 @@ def _row0_packing(packing, default):
     fps at b128, but the TRAINING step is faster with "2x2" (135.5 vs
     153.4 ms/step at b16 — the 1x2 conv's VJP is slower) — so the rollout
     entry defaults to "1x2" and the apply entry (train/eval) to "2x2".
-    Override per call or via VLG_ROW0_PACK."""
+    Precedence: VLG_ROW0_PACK env (user override, wins everywhere) >
+    per-call ``packing`` (code-level choice) > the entry default."""
     import os
-    return packing or os.environ.get("VLG_ROW0_PACK", default)
+    chosen = os.environ.get("VLG_ROW0_PACK") or packing or default
+    if chosen not in ("1x2", "2x2"):
+        raise ValueError(
+            f"VLG_ROW0_PACK/packing must be '1x2' or '2x2', got {chosen!r}")
+    return chosen
 
 
 def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,

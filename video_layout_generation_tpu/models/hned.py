@@ -54,7 +54,8 @@ class HNED(nn.Module):
             if k == 3:
                 from .blocks import WidthPackedConv3x3
                 return WidthPackedConv3x3(feats, dtype=dt, name=n)
-            return nn.Conv(feats, (k, k), padding="VALID", dtype=dt, name=n)
+            pad = ((k // 2, k // 2), (k // 2, k // 2)) if k > 1 else "VALID"
+            return nn.Conv(feats, (k, k), padding=pad, dtype=dt, name=n)
 
         def stage(x, name, widths, pool):
             if pool:

@@ -282,12 +282,17 @@ def conv3x3_w2(x: jnp.ndarray, k: jnp.ndarray,
                                           pack_kernel3x3_1x2(k), b))
 
 
-def _conv3x3_std(x, k, b):
+def conv3x3_same(x, k, b=None):
+    """Plain stride-1 SAME 3x3 conv + optional bias (NHWC) — the shared
+    reference implementation for packed/Pallas backward paths."""
     y = jax.lax.conv_general_dilated(
-        x, k, (1, 1), [(1, 1), (1, 1)],
+        x, k.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype)
-    return y + b.astype(y.dtype)
+    return y if b is None else y + b.astype(y.dtype)
+
+
+_conv3x3_std = conv3x3_same
 
 
 def _w2_fwd(x, k, b):

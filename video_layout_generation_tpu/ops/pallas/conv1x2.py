@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from ..packed import conv3x3_same as _xla_conv3x3
 from ..packed import pack1x2, pack_kernel3x3_1x2, unpack1x2
 
 
@@ -126,15 +127,6 @@ def _fwd_impl(xp, wp, bias, tile_h: int):
             transcendentals=0),
     )(xp, xp, xp, wa, wb, b2)
 
-
-def _xla_conv3x3(x, w, b):
-    y = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
-    if b is not None:
-        y = y + b.astype(y.dtype)
-    return y
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..packed import conv3x3_same as _xla_conv3x3
+
 
 def _kernel(x_top_ref, x_mid_ref, x_bot_ref, w_ref, b_ref, out_ref):
     th = x_mid_ref.shape[1]
@@ -94,13 +96,6 @@ def _conv3x3_fwd_impl(x, w, b, tile_h: int):
             transcendentals=0),
     )(x, x, x, w, b.reshape(1, cout))
 
-
-def _xla_conv3x3(x, w, b):
-    y = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
-    return y + b.astype(y.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

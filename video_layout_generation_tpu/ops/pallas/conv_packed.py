@@ -55,99 +55,20 @@ def wmats_from_packed(wp: jnp.ndarray):
     return wa, wb
 
 
-def _kernel(x_top_ref, x_mid_ref, x_bot_ref, wa_ref, wb_ref, b_ref, out_ref):
-    th = x_mid_ref.shape[1]
-    w = x_mid_ref.shape[2]
-    c4 = x_mid_ref.shape[3]
-    c2 = c4 // 2
-    co4 = out_ref.shape[3]
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
-
-    top = x_top_ref[0]                        # (1, W, 4Ci), row jt-1 clamped
-    bot = x_bot_ref[0]
-    # SAME padding: the clamped halo row duplicates an in-image row at the
-    # top/bottom edge — zero it there
-    top = jnp.where(j == 0, jnp.zeros_like(top), top)
-    bot = jnp.where(j == nj - 1, jnp.zeros_like(bot), bot)
-
-    mid = x_mid_ref[0]                                     # (th, W, 4Ci)
-    up = jnp.concatenate([top, mid[:-1]], axis=0)          # row y-1
-    dn = jnp.concatenate([mid[1:], bot], axis=0)           # row y+1
-    # complementary halves: dy=0 blocks (low 2Ci) from y+1, dy=1 blocks
-    # (high 2Ci) from y-1. NOTE: expressed as a lane-slice concat, NOT an
-    # iota+where lane select — the select lowers correctly but its Mosaic
-    # compile takes minutes (tools/bisect_mosaic_compile.py) vs <1s here.
-    updn = jnp.concatenate([dn[:, :, :c2], up[:, :, c2:]], axis=-1)
-
-    y = jnp.dot(mid.reshape(th * w, c4), wa_ref[...],
-                preferred_element_type=jnp.float32)
-    y = y + jnp.dot(updn.reshape(th * w, c4), wb_ref[...],
-                    preferred_element_type=jnp.float32)
-    y = y.reshape(th, w, 3 * co4)
-
-    # fold the qx column blocks back onto the x axis (concat-shifts — Mosaic
-    # has no scatter-add):
-    # out[:, x] = Y[:, x-1, qx=-1] + Y[:, x, qx=0] + Y[:, x+1, qx=+1]
-    zc = jnp.zeros((th, 1, co4), jnp.float32)
-    out = (y[:, :, co4:2 * co4]
-           + jnp.concatenate([zc, y[:, :-1, :co4]], axis=1)
-           + jnp.concatenate([y[:, 1:, 2 * co4:], zc], axis=1))
-    out = out + b_ref[...].astype(jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
-
-
-def _fwd_impl(xp, wp, bias, tile_h: int):
-    n, h, w, c4 = xp.shape
-    co4 = wp.shape[-1]
-    th = min(tile_h, h)
-    while h % th:
-        th //= 2
-    nj = h // th
-
-    wa, wb = wmats_from_packed(wp.astype(xp.dtype))
-    if bias is None:
-        b4 = jnp.zeros((1, co4), jnp.float32)
-    else:
-        b4 = jnp.tile(bias.astype(jnp.float32), 4).reshape(1, co4)
-
-    return pl.pallas_call(
-        _kernel,
-        grid=(n, nj),
-        in_specs=[
-            pl.BlockSpec((1, 1, w, c4),
-                         lambda i, j: (i, jnp.maximum(j * th - 1, 0), 0, 0)),
-            pl.BlockSpec((1, th, w, c4), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, w, c4),
-                         lambda i, j: (i, jnp.minimum(j * th + th, h - 1),
-                                       0, 0)),
-            pl.BlockSpec((c4, 3 * co4), lambda i, j: (0, 0)),
-            pl.BlockSpec((c4, 3 * co4), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, co4), lambda i, j: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, th, w, co4), lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, co4), xp.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * w * c4 * 3 * co4 * 2,
-            bytes_accessed=(n * h * w * (c4 + co4) * xp.dtype.itemsize
-                            + 2 * c4 * 3 * co4 * xp.dtype.itemsize),
-            transcendentals=0),
-    )(xp, xp, xp, wa, wb, b4)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def conv_packed3x3_sparse(xp, wp, bias, tile_h: int = 32):
     """Packed-space stride-1 3x3 conv (+ logical bias), sparse-aware.
 
     Drop-in for ops.packed.conv_packed3x3 when ``supported()`` holds:
     xp (N,H,W,4Ci) phase-major, wp (3,3,4Ci,4Co) from pack_kernel3x3,
-    bias logical (Co,) or None.
+    bias logical (Co,) or None. (The no-activation, no-residual case of
+    the fused kernel below.)
     """
-    return _fwd_impl(xp, wp, bias, tile_h)
+    return _fused_impl(xp, wp, bias, None, None, tile_h)
 
 
 def _fwd(xp, wp, bias, tile_h):
-    return _fwd_impl(xp, wp, bias, tile_h), (xp, wp, bias)
+    return _fused_impl(xp, wp, bias, None, None, tile_h), (xp, wp, bias)
 
 
 def _bwd(tile_h, res, g):
