@@ -77,3 +77,20 @@ def test_predict_edge_mode(ckpt_path, tmp_path):
     frames, layouts = pred.predict(img, img, seg, seg)
     assert frames.shape == (2, 1, 32, 32, 3)
     assert layouts.shape == (2, 1, 32, 32)
+
+
+def test_predict_quantize_transfer_close_to_exact(ckpt_path):
+    # uint8 transfer quantizes frames by at most 1/255 and layouts exactly
+    kw = dict(arch="GridNet", n_frames=2, batch=2, image_hw=(32, 32),
+              filters_level=(4, 6, 8), use_bf16=False)
+    a = LayoutPredictor.from_checkpoint(ckpt_path, **kw)
+    b = LayoutPredictor.from_checkpoint(ckpt_path,
+                                        quantize_transfer=True, **kw)
+    rng = np.random.default_rng(3)
+    img1, img2 = (rng.random((2, 32, 32, 3)).astype(np.float32)
+                  for _ in range(2))
+    seg1, seg2 = (rng.integers(0, 20, (2, 32, 32)) for _ in range(2))
+    f0, l0 = a.predict(img1, img2, seg1, seg2)
+    f1, l1 = b.predict(img1, img2, seg1, seg2)
+    assert np.abs(f0 - f1).max() <= (0.5 / 255 + 1e-6)
+    np.testing.assert_array_equal(l0, l1)

@@ -32,13 +32,16 @@ class LayoutPredictor:
                  batch: int = 16, image_hw=(256, 256),
                  filters_level=(32, 64, 96), use_bf16: bool = True,
                  hned=None, hned_params=None, use_edges: bool = False,
-                 edge_scale: int = 1):
+                 edge_scale: int = 1, quantize_transfer: bool = False):
         if arch not in ("GridNet", "CoordGridNet"):
             raise ValueError(f"serving supports GridNet archs, got {arch}")
         self.arch = arch
         self.params = params
         self.n_frames = n_frames
         self.batch = batch
+        # uint8 device->host transfer: 4x less traffic on tunneled/remote
+        # devices at 1/255 quantization of the [0,1] frames
+        self.quantize_transfer = quantize_transfer
         self.hw = tuple(image_hw)
         dtype = jnp.bfloat16 if use_bf16 else None
         coord = arch == "CoordGridNet"
@@ -88,6 +91,16 @@ class LayoutPredictor:
         s1 = jnp.asarray(pad(np.asarray(seg1, np.float32)))[..., None]
         s2 = jnp.asarray(pad(np.asarray(seg2, np.float32)))[..., None]
         imgs, segs = self._rollout(self.params, i1, i2, s1, s2)
-        frames = np.clip(np.asarray(denormalize_image(imgs))[:n], 0.0, 1.0)
-        layouts = np.asarray(segs)[:n, ..., 0].astype(np.int32)
+        # slice the padding off DEVICE-side before fetching: on a tunneled
+        # device the host transfer dominates small-batch latency (measured
+        # 7.1 s for the padded batch-16 fetch vs 1.5 s for batch 1)
+        fdev = jnp.clip(denormalize_image(imgs[:n]), 0.0, 1.0)
+        ldev = segs[:n, ..., 0]
+        if self.quantize_transfer:
+            frames = np.asarray((fdev * 255.0 + 0.5).astype(jnp.uint8),
+                                np.float32) / 255.0
+            layouts = np.asarray(ldev.astype(jnp.uint8)).astype(np.int32)
+        else:
+            frames = np.asarray(fdev)
+            layouts = np.asarray(ldev).astype(np.int32)
         return frames, layouts
