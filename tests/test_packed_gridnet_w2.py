@@ -136,3 +136,20 @@ def test_row0_pack_env_dispatch(monkeypatch):
     assert _row0_packing(None, "2x2") == "2x2"
     assert _row0_packing(None, "1x2") == "1x2"
     assert _row0_packing("2x2", "1x2") == "2x2"
+
+
+def test_w2_gridnet_512px_and_odd_batch():
+    # resolution generality (fixes the reference's hardcoded 256 coord
+    # grid, SURVEY.md 2c#9): the w2 executor must match flax at other
+    # resolutions and non-power-of-two batch
+    model = GridNet(n_channels=8, filters_level=(4, 6, 8))
+    x = jnp.asarray(np.random.default_rng(11)
+                    .standard_normal((3, 32, 64, 8)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    seg_ref, img_ref = jax.jit(model.apply)(variables, x)
+    seg, img = jax.jit(make_packed_gridnet_apply(dtype=jnp.float32))(
+        variables, x)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(seg_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                               atol=2e-4)
