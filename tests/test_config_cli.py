@@ -44,3 +44,34 @@ def test_defaults_match_reference():
 def test_model_in_channels_tracks_edges():
     assert Config(edge=True).model_in_channels == 10
     assert Config(edge=False).model_in_channels == 8
+
+
+def test_every_config_field_is_cli_reachable():
+    """Audit: each Config field must have a matching argparse dest, so the
+    full config surface is reachable from the reference-compatible CLI."""
+    import dataclasses
+
+    from video_layout_generation_tpu.config import build_arg_parser
+
+    dests = {a.dest for a in build_arg_parser()._actions}
+    fields = {f.name for f in dataclasses.fields(Config)}
+    missing = fields - dests
+    assert not missing, f"Config fields without CLI flags: {sorted(missing)}"
+
+
+def test_extended_flags_parse_and_convert():
+    cfg = config_from_args([
+        "--image_size", "128", "192", "--n_classes", "30",
+        "--filters_level", "16", "32", "48", "--mesh_shape", "4", "2",
+        "--no_fast_train", "--no_fast_rollout", "--w_l1", "10",
+        "--w_style", "5", "--w_seg", "2", "--val_interval", "3",
+        "--synthetic_train_size", "8", "--synthetic_val_size", "4",
+        "--loss_dtype", "float32",
+    ])
+    assert cfg.image_size == (128, 192) and cfg.n_classes == 30
+    assert cfg.filters_level == (16, 32, 48)
+    assert cfg.mesh_shape == (4, 2)
+    assert not cfg.fast_train and not cfg.fast_rollout
+    assert cfg.w_l1 == 10 and cfg.w_style == 5 and cfg.w_seg == 2
+    assert cfg.val_interval == 3
+    assert cfg.synthetic_train_size == 8 and cfg.synthetic_val_size == 4

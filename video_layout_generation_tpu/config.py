@@ -174,7 +174,30 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--rollout_frames", type=int, default=8)
     p.add_argument("--rollout_edge_scale", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--loss_dtype", type=str, default="float32")
     p.add_argument("--remat", action="store_true")
+    # -- fields beyond the reference's flag surface (src/main.py:86-158);
+    # every Config field is CLI-reachable (audited in tests/test_config_cli)
+    p.add_argument("--image_size", type=int, nargs=2, default=(256, 256),
+                   metavar=("H", "W"))
+    p.add_argument("--n_classes", type=int, default=20)
+    p.add_argument("--synthetic_train_size", type=int, default=64)
+    p.add_argument("--synthetic_val_size", type=int, default=16)
+    p.add_argument("--filters_level", type=int, nargs=3, default=(32, 64, 96),
+                   metavar=("R0", "R1", "R2"))
+    p.add_argument("--w_l1", type=float, default=40.0)
+    p.add_argument("--w_style", type=float, default=20.0)
+    p.add_argument("--w_seg", type=float, default=10.0)
+    p.add_argument("--fast_train", dest="fast_train", action="store_true",
+                   default=True)
+    p.add_argument("--no_fast_train", dest="fast_train",
+                   action="store_false")
+    p.add_argument("--fast_rollout", dest="fast_rollout",
+                   action="store_true", default=True)
+    p.add_argument("--no_fast_rollout", dest="fast_rollout",
+                   action="store_false")
+    p.add_argument("--mesh_shape", type=int, nargs="+", default=None,
+                   help="device mesh shape; default: all devices on 'data'")
     return p
 
 
@@ -182,4 +205,7 @@ def config_from_args(argv=None) -> Config:
     args = build_arg_parser().parse_args(argv)
     names = {f.name for f in dataclasses.fields(Config)}
     kw = {k: v for k, v in vars(args).items() if k in names}
+    for k in ("image_size", "filters_level", "mesh_shape"):
+        if kw.get(k) is not None:
+            kw[k] = tuple(kw[k])
     return Config(**kw)

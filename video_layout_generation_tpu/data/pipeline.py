@@ -95,12 +95,23 @@ class HostLoader:
 
 
 class ShardedLoader:
-    """Wraps a HostLoader: device_put with batch sharding + 1-deep prefetch."""
+    """Wraps a HostLoader: device_put with batch sharding + prefetch.
 
-    def __init__(self, loader: HostLoader, mesh, axis: str = "data"):
+    Multi-host: each process's HostLoader yields only its local shard of the
+    global batch; ``jax.make_array_from_process_local_data`` assembles the
+    global array (every process contributes its addressable shards), so the
+    jitted steps see ONE global batch and every reduction inside them is
+    globally correct — the TPU-native successor to the reference's
+    per-rank loaders + explicit all_reduce (src/trainer.py:336-340).
+    Single-host keeps the cheaper plain ``device_put``.
+    """
+
+    def __init__(self, loader: HostLoader, mesh, axis: str = "data",
+                 prefetch: int = 2):
         self.loader = loader
         self.mesh = mesh
         self.axis = axis
+        self.prefetch = max(1, prefetch)
 
     def set_epoch(self, epoch: int):
         self.loader.set_epoch(epoch)
@@ -110,14 +121,20 @@ class ShardedLoader:
 
     def __iter__(self):
         sh = batch_sharding(self.mesh, self.axis)
-        put = lambda b: jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sh), b)
+        if jax.process_count() > 1:
+            put = lambda b: jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(sh, x), b)
+        else:
+            put = lambda b: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sh), b)
         it = iter(self.loader)
-        try:
-            nxt = put(next(it))
-        except StopIteration:
-            return
+        # keep `prefetch` batches resident on device ahead of the consumer:
+        # device_put is async, so H2D transfers overlap both the host decode
+        # of later batches and the consumer's compute
+        window: collections.deque = collections.deque()
         for host_batch in it:
-            cur, nxt = nxt, put(host_batch)  # overlap H2D with consumer
-            yield cur
-        yield nxt
+            window.append(put(host_batch))
+            if len(window) > self.prefetch:
+                yield window.popleft()
+        while window:
+            yield window.popleft()

@@ -10,8 +10,8 @@ single-row blocks per step) instead of XLA's re-materialized im2col.
 
 Layout: NHWC with C (lanes) = 128*k. Grid (N, H/TH); per step the kernel
 sees TH middle rows plus one halo row above and below (clamped block index
-at the image edges; the duplicate edge row is zeroed in-kernel via
-``@pl.when``), pads W by one zero column on each side, and runs the 9
+at the image edges; the duplicate edge row is zeroed in-kernel with a
+``jnp.where`` on ``pl.program_id``), pads W by one zero column on each side, and runs the 9
 (dy, dx) dots. Forward-only design: the rollout/serving executor is the
 consumer (models/fast_gridnet.py); training keeps XLA convs, so the custom
 VJP simply defers to ``jax.vjp`` of the XLA formulation (exact math).

@@ -32,7 +32,8 @@ class LayoutPredictor:
                  batch: int = 16, image_hw=(256, 256),
                  filters_level=(32, 64, 96), use_bf16: bool = True,
                  hned=None, hned_params=None, use_edges: bool = False,
-                 edge_scale: int = 1, quantize_transfer: bool = False):
+                 edge_scale: int = 1, quantize_transfer: bool = False,
+                 n_classes: int = 20):
         if arch not in ("GridNet", "CoordGridNet"):
             raise ValueError(f"serving supports GridNet archs, got {arch}")
         self.arch = arch
@@ -42,6 +43,8 @@ class LayoutPredictor:
         # uint8 device->host transfer: 4x less traffic on tunneled/remote
         # devices at 1/255 quantization of the [0,1] frames
         self.quantize_transfer = quantize_transfer
+        # the layout fetch is exact only while every class id fits in uint8
+        self.n_classes = n_classes
         self.hw = tuple(image_hw)
         dtype = jnp.bfloat16 if use_bf16 else None
         coord = arch == "CoordGridNet"
@@ -99,7 +102,11 @@ class LayoutPredictor:
         if self.quantize_transfer:
             frames = np.asarray((fdev * 255.0 + 0.5).astype(jnp.uint8),
                                 np.float32) / 255.0
-            layouts = np.asarray(ldev.astype(jnp.uint8)).astype(np.int32)
+            if self.n_classes <= 256:
+                layouts = np.asarray(ldev.astype(jnp.uint8)).astype(np.int32)
+            else:
+                # ids >= 256 would wrap in uint8 — keep the layout fetch exact
+                layouts = np.asarray(ldev).astype(np.int32)
         else:
             frames = np.asarray(fdev)
             layouts = np.asarray(ldev).astype(np.int32)

@@ -56,8 +56,15 @@ def make_rollout_fn(model_apply: Callable,
             if edge_scale == 1:
                 return hned_apply(hned_params, img)[-1]
             h, w = img.shape[1], img.shape[2]
-            small = resize_bilinear(img, (h // edge_scale, w // edge_scale),
-                                    align_corners=False)
+            # HNED's 4 stride-2 pools need >= 16 px on each side; shapes are
+            # static under jit so this raises clearly at trace/compile time
+            # instead of as an opaque shape error deep inside the scan
+            sh, sw = h // edge_scale, w // edge_scale
+            if sh < 16 or sw < 16:
+                raise ValueError(
+                    f"edge_scale={edge_scale} shrinks {h}x{w} frames to "
+                    f"{sh}x{sw}; HNED needs at least 16x16 inputs")
+            small = resize_bilinear(img, (sh, sw), align_corners=False)
             e = hned_apply(hned_params, small)[-1]
             return resize_bilinear(e, (h, w), align_corners=False)
 

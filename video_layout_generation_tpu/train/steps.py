@@ -106,9 +106,16 @@ def make_train_step(model_apply: Callable, hned_apply: Optional[Callable],
 
 def make_eval_step(model_apply: Callable, hned_apply: Optional[Callable],
                    combined_loss, w_l1: float = 40.0, w_style: float = 20.0,
-                   w_seg: float = 10.0):
+                   w_seg: float = 10.0, n_classes: Optional[int] = None):
     """Returns jitted ``eval_step(params, hned_params, batch)`` producing
-    (metrics, seg_pred_ids, img_pred_norm)."""
+    (metrics, seg_pred_ids, img_pred_norm).
+
+    With ``n_classes`` set, ``metrics['cm']`` carries the (C, C) confusion
+    matrix reduced over the GLOBAL batch inside the compiled program — under
+    a multi-host mesh this replaces the reference's explicit validation
+    all_reduce (src/trainer.py:336-340): the output is replicated, so every
+    process accumulates identical totals.
+    """
     loss_fn = make_loss_fn(model_apply, combined_loss, w_l1, w_style, w_seg)
 
     def eval_step(params, hned_params, batch):
@@ -116,6 +123,11 @@ def make_eval_step(model_apply: Callable, hned_apply: Optional[Callable],
         _, (metrics, seg_logits, img_n) = loss_fn(params, x, f3n,
                                                   batch["seg3"])
         seg_ids = jnp.argmax(seg_logits, axis=-1)
+        if n_classes is not None:
+            from ..evaluation.metrics import confusion_matrix
+            metrics = dict(metrics,
+                           cm=confusion_matrix(seg_ids, batch["seg3"],
+                                               n_classes))
         return metrics, seg_ids, img_n
 
     return jax.jit(eval_step)

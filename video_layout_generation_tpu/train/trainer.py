@@ -28,7 +28,7 @@ import numpy as np
 from ..config import Config
 from ..data.pipeline import HostLoader, ShardedLoader
 from ..evaluation.export import save_npy_stack
-from ..evaluation.metrics import confusion_matrix, summarize_confusion
+from ..evaluation.metrics import summarize_confusion
 from ..io.checkpoint import CheckpointManager
 from ..io.logging import get_logger
 from ..io.tb import SummaryWriter
@@ -36,7 +36,7 @@ from ..losses.combined import CombinedLoss
 from ..models import HNED, get_model_cls
 from ..ops.colorize import colorize_seg
 from ..parallel.mesh import is_primary, make_mesh
-from ..utils.meters import AverageMeter, StepTimer
+from ..utils.meters import StepTimer
 from .assemble import denormalize_image, normalize_image
 from .rollout import make_rollout_fn
 from .state import TrainState, current_lr, epoch_decayed_lr, make_optimizer, set_lr
@@ -146,7 +146,7 @@ class Trainer:
                 cfg.w_l1, cfg.w_style, cfg.w_seg)
         self._eval_step = make_eval_step(
             model_apply, hned_apply, self.combined.eval_variant(),
-            cfg.w_l1, cfg.w_style, cfg.w_seg)
+            cfg.w_l1, cfg.w_style, cfg.w_seg, n_classes=cfg.n_classes)
         fast_ok = cfg.fast_rollout and cfg.arch in ("GridNet",
                                                     "CoordGridNet")
         if fast_ok and not cfg.edge:
@@ -214,10 +214,18 @@ class Trainer:
         return get_dataset(self.cfg)
 
     def _wrap_loader(self, dataset, shuffle: bool):
-        host = HostLoader(dataset, self.cfg.batch_size, shuffle=shuffle,
+        # cfg.batch_size is GLOBAL (the reference splits batch_size // gpus
+        # per process, src/trainer.py:148); each process loads its share and
+        # ShardedLoader assembles the global array across processes
+        n_proc = jax.process_count()
+        if self.cfg.batch_size % n_proc:
+            raise ValueError(f"batch_size {self.cfg.batch_size} not "
+                             f"divisible by process count {n_proc}")
+        host = HostLoader(dataset, self.cfg.batch_size // n_proc,
+                          shuffle=shuffle,
                           seed=self.cfg.seed, workers=self.cfg.workers,
                           process_index=jax.process_index(),
-                          process_count=jax.process_count())
+                          process_count=n_proc)
         return ShardedLoader(host, self.mesh)
 
     # ------------------------------------------------------------------
@@ -300,41 +308,70 @@ class Trainer:
                 "train/edge", np.repeat(np.asarray(edge), 3, axis=-1), step)
 
     def validate(self) -> Dict[str, float]:
+        """Validation epoch: size-weighted loss + confusion-matrix totals.
+
+        Both are reduced over the GLOBAL batch inside the jitted eval step
+        and come back replicated, so accumulating them per process gives
+        identical cross-process totals — the TPU-native equivalent of the
+        reference's size-weighted validation all_reduce
+        (src/trainer.py:336-340). Accumulation stays on device (lazy jnp
+        adds); the only host syncs are the epoch-end fetch and the periodic
+        dump."""
         self.logger.info("Validation started")
         cfg = self.cfg
-        meter = AverageMeter()
+        loss_sum = None
+        n_total = 0
         cm_total = None
         for i, batch in enumerate(self.val_loader):
             metrics, seg_ids, img_n = self._eval_step(
                 self.model_params, self.hned_params, batch)
-            bs = batch["img1"].shape[0]
-            meter.update(float(metrics["loss"]), bs)
-            cm = confusion_matrix(seg_ids, batch["seg3"], cfg.n_classes)
+            bs = batch["img1"].shape[0]  # global: arrays span all processes
+            n_total += bs
+            contrib = metrics["loss"] * bs
+            loss_sum = contrib if loss_sum is None else loss_sum + contrib
+            cm = metrics["cm"]
             cm_total = cm if cm_total is None else cm_total + cm
-            if (is_primary() and self.predict_dir and i % 100 == 0):
-                save_npy_stack(self.predict_dir,
-                               f"val_{time.time():.0f}_{i:06d}",
-                               {"stack": np.concatenate([
-                                   np.asarray(batch["img1"]),
-                                   np.asarray(batch["img2"]),
-                                   np.asarray(denormalize_image(img_n)),
-                                   np.asarray(colorize_seg(seg_ids)),
-                               ], axis=-1)})
+            if self.predict_dir and i % 100 == 0:
+                self._dump_val_stack(batch, seg_ids, img_n, i)
         if cm_total is None:  # empty loader (batch > dataset with drop_last)
             self.logger.info("Validation loader produced no batches")
         iou, miou, acc = summarize_confusion(cm_total, cfg.n_classes)
         if cm_total is None:
             return {"loss": float("nan"), "miou": miou, "pixel_acc": acc,
                     "per_class_iou": iou}
+        loss_avg = float(loss_sum) / n_total
         if is_primary():
             self.logger.info(
                 "Epoch [%d/%d] loss [%.4f] mIoU [%.4f] pixAcc [%.4f]" % (
-                    self.epoch, cfg.epochs, meter.avg, miou, acc))
-            self.writer.add_scalar("val/loss", meter.avg, self.epoch)
+                    self.epoch, cfg.epochs, loss_avg, miou, acc))
+            self.writer.add_scalar("val/loss", loss_avg, self.epoch)
             self.writer.add_scalar("val/miou", miou, self.epoch)
             self.writer.add_scalar("val/pixel_acc", acc, self.epoch)
-        return {"loss": meter.avg, "miou": miou, "pixel_acc": acc,
+        return {"loss": loss_avg, "miou": miou, "pixel_acc": acc,
                 "per_class_iou": iou}
+
+    def _dump_val_stack(self, batch, seg_ids, img_n, i: int):
+        """Full input+prediction dump, reference parity
+        (src/trainer.py:348-351): channel-cat of normalized frame1/2/3, the
+        normalized prediction, seg1, seg2, seg3, and the predicted seg —
+        16 channels. Multi-host: batch arrays are sharded across processes,
+        so every process joins the allgather and only primary writes."""
+        stack = jnp.concatenate([
+            normalize_image(batch["img1"]),
+            normalize_image(batch["img2"]),
+            normalize_image(batch["img3"]),
+            img_n,
+            batch["seg1"], batch["seg2"],
+            batch["seg3"].astype(jnp.float32)[..., None],
+            seg_ids.astype(jnp.float32)[..., None],
+        ], axis=-1)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            stack = multihost_utils.process_allgather(stack, tiled=True)
+        if is_primary():
+            save_npy_stack(self.predict_dir,
+                           f"val_{time.time():.0f}_{i:06d}",
+                           {"stack": np.asarray(stack)})
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, metrics: Optional[Dict] = None):

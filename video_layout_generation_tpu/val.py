@@ -38,11 +38,13 @@ def parse_args(argv=None):
                    default="u_net")
     p.add_argument("--data", type=str, default=None,
                    help="npz with imgs/segs/masks arrays")
-    p.add_argument("--load_dir", type=str, default="models")
+    p.add_argument("--load_dir", type=str, default="models",
+                   help="directory a relative --ckpt is resolved under")
     p.add_argument("--save_dir", type=str, default="results")
     p.add_argument("--ckpt", type=str, default=None,
                    help="orbax checkpoint dir with completion-model params")
-    p.add_argument("--nw", dest="num_workers", type=int, default=0)
+    p.add_argument("--nw", dest="num_workers", type=int, default=0,
+                   help="threads for the PNG export")
     p.add_argument("--bs", dest="batch_size", type=int, default=1)
     p.add_argument("--n_classes", type=int, default=29)
     p.add_argument("--size", type=int, default=256,
@@ -102,8 +104,11 @@ def main(argv=None):
     params = jax.jit(model.init)(jax.random.key(0), *b0)
     if args.ckpt:
         import orbax.checkpoint as ocp
+        ckpt = args.ckpt
+        if not os.path.isabs(ckpt) and not os.path.exists(ckpt):
+            ckpt = os.path.join(args.load_dir, ckpt)
         params = {"params": ocp.PyTreeCheckpointer().restore(
-            os.path.abspath(args.ckpt))["params"]}
+            os.path.abspath(ckpt))["params"]}
 
     apply_fn = jax.jit(lambda p, m, s, i: jnp.argmax(
         model.apply(p, m, s, i), axis=-1))
@@ -114,6 +119,9 @@ def main(argv=None):
 
     print("evaluation start")
     sys.stdout.flush()
+    import concurrent.futures as cf
+    pool = (cf.ThreadPoolExecutor(args.num_workers)
+            if args.num_workers > 0 else None)
     cm_total = None
     img_count = 0
     for step in range(n // args.batch_size):
@@ -130,10 +138,14 @@ def main(argv=None):
         draw_time = time.time() - tic
 
         tic = time.time()
-        for i in range(args.batch_size):
-            save_colorized_png(
-                os.path.join(save_folder, f"{img_count}.png"), pred_np[i])
-            img_count += 1
+        paths = [os.path.join(save_folder, f"{img_count + i}.png")
+                 for i in range(args.batch_size)]
+        if pool is not None:
+            list(pool.map(save_colorized_png, paths, pred_np))
+        else:
+            for path, pr in zip(paths, pred_np):
+                save_colorized_png(path, pr)
+        img_count += args.batch_size
         save_time = time.time() - tic
         sys.stdout.write(
             "\rsaving image {}/{} \ttime cost: {:.2f}\teval cost: {:.2f}"
@@ -141,6 +153,8 @@ def main(argv=None):
                     eval_time))
         sys.stdout.flush()
 
+    if pool is not None:
+        pool.shutdown()
     iou, miou, acc = summarize_confusion(cm_total, args.n_classes)
     print("\nper-class IoU:",
           " ".join("%.3f" % v if np.isfinite(v) else "nan" for v in iou))
