@@ -81,3 +81,30 @@ def test_rollout_fidelity_eval(trainer):
     assert out["per_step_miou"].shape == (2,)
     assert 0.0 <= out["mean_miou"] <= 1.0
     assert 0.0 <= out["mean_pixel_acc"] <= 1.0
+
+
+def test_lr_policy_reachable_from_trainer(tiny_cfg, tmp_path_factory):
+    """pix2pix scheduler policies drive the flagship Trainer's lr
+    (reference get_scheduler, src/models/networks.py:38-64)."""
+    from video_layout_generation_tpu.train.state import current_lr
+
+    cfg = tiny_cfg.replace(path=str(tmp_path_factory.mktemp("sched")),
+                           lr_policy="linear", niter=1, niter_decay=4,
+                           lr=1e-3)
+    t = Trainer(cfg)
+    lrs = []
+    for epoch in range(3):
+        t.set_epoch(epoch)
+        lrs.append(current_lr(t.state))
+    assert lrs[0] == pytest.approx(1e-3)
+    # linear decay after niter epochs: scale 1 - (e + 1 - 1)/5
+    assert lrs[1] == pytest.approx(1e-3 * (1 - 1 / 5))
+    assert lrs[2] == pytest.approx(1e-3 * (1 - 2 / 5))
+
+    cfg2 = cfg.replace(lr_policy="step", lr_decay_iters=2,
+                       path=str(tmp_path_factory.mktemp("sched2")))
+    t2 = Trainer(cfg2)
+    t2.set_epoch(0)
+    assert current_lr(t2.state) == pytest.approx(1e-3)
+    t2.set_epoch(2)
+    assert current_lr(t2.state) == pytest.approx(1e-4)

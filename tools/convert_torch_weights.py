@@ -87,10 +87,12 @@ def main(argv=None):
 
     sd = None
     if args.torch_state_dict:
-        import torch
-        sd = torch.load(args.torch_state_dict, map_location="cpu")
-        if args.state_dict_key:
-            sd = sd[args.state_dict_key]
+        # dependency-free torch checkpoint reader (zip + legacy formats) —
+        # works without torch/torchvision installed
+        from video_layout_generation_tpu.io.torch_reader import (
+            read_torch_state_dict)
+        sd = read_torch_state_dict(args.torch_state_dict,
+                                   key=args.state_dict_key)
 
     if args.which == "vgg19":
         out = convert_vgg19(sd)

@@ -60,6 +60,13 @@ class Config:
     lr_decay_step: int = 5              # epochs between decays (sgd)
     lr_decay_gamma: float = 0.1
     start_epoch: int = 1
+    # pix2pix-style schedulers (reference src/models/networks.py:38-64);
+    # None keeps the reference Trainer behavior (sgd epoch decay only)
+    lr_policy: Optional[str] = None     # 'linear' | 'step' | 'plateau' | 'cosine'
+    niter: int = 100                    # linear: constant epochs; cosine: T_max
+    niter_decay: int = 100              # linear: decay-to-zero epochs
+    lr_decay_iters: int = 50            # step: epochs per 0.1x decay
+    epoch_count: int = 1                # linear: starting epoch offset
 
     # -- loss weights (reference src/trainer.py:248-251) --------------------
     w_l1: float = 40.0
@@ -75,6 +82,10 @@ class Config:
     fast_train: bool = True             # packed executor inside the train /
                                         # eval steps too (exact same grads;
                                         # measured 1.26x on v5e)
+
+    transfer_uint8: bool = True         # ship batches host->device as uint8
+                                        # (4x less H2D; exact for 8-bit PNG
+                                        # sources; decoded on device)
 
     # -- runtime ------------------------------------------------------------
     workers: int = 4
@@ -156,6 +167,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--beta1", type=float, default=0.5)
     p.add_argument("--lr_decay_step", type=int, default=5)
     p.add_argument("--lr_decay_gamma", type=float, default=0.1)
+    p.add_argument("--lr_policy", type=str, default=None,
+                   choices=["linear", "step", "plateau", "cosine"])
+    p.add_argument("--niter", type=int, default=100)
+    p.add_argument("--niter_decay", type=int, default=100)
+    p.add_argument("--lr_decay_iters", type=int, default=50)
+    p.add_argument("--epoch_count", type=int, default=1)
     p.add_argument("--input_nc", type=int, default=8)
     p.add_argument("--output_nc", type=int, default=3)
     p.add_argument("--ngf", type=int, default=64)
@@ -198,6 +215,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--mesh_shape", type=int, nargs="+", default=None,
                    help="device mesh shape; default: all devices on 'data'")
+    p.add_argument("--transfer_uint8", dest="transfer_uint8",
+                   action="store_true", default=True)
+    p.add_argument("--no_transfer_uint8", dest="transfer_uint8",
+                   action="store_false")
     return p
 
 

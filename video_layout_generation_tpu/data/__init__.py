@@ -11,10 +11,16 @@ def get_dataset(cfg):
         return (CityscapesTriplets(cfg.train_dir, cfg.image_size),
                 CityscapesTriplets(cfg.val_dir, cfg.image_size))
     if cfg.dataset == "synthetic":
+        # emit the compact-transfer uint8 encoding directly when the
+        # pipeline ships uint8 anyway — skips two float conversions per
+        # sample on the single host core
+        u8 = getattr(cfg, "transfer_uint8", False) and cfg.n_classes <= 255
         return (SyntheticTriplets(cfg.synthetic_train_size, cfg.image_size,
-                                  cfg.n_classes, seed=cfg.seed),
+                                  cfg.n_classes, seed=cfg.seed,
+                                  emit_uint8=u8),
                 SyntheticTriplets(cfg.synthetic_val_size, cfg.image_size,
-                                  cfg.n_classes, seed=cfg.seed + 1))
+                                  cfg.n_classes, seed=cfg.seed + 1,
+                                  emit_uint8=u8))
     raise ValueError(f"Invalid dataset {cfg.dataset!r}")
 
 

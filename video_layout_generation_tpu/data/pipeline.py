@@ -23,12 +23,33 @@ import numpy as np
 from ..parallel.mesh import batch_sharding
 
 
+def encode_batch_uint8(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Compact-transfer encoding: float [0,1] frames -> uint8, layout class
+    ids -> uint8. 4x less H2D traffic; the jitted steps decode on device
+    (train/steps.py:decode_batch). Exact for 8-bit image sources (PNG) and
+    for class ids < 256."""
+    out = {}
+    for k, v in batch.items():
+        if k.startswith("img") and v.dtype == np.float32:
+            out[k] = (v * 255.0 + 0.5).astype(np.uint8)
+        elif k.startswith("seg") and v.dtype != np.uint8:
+            out[k] = v.astype(np.uint8)
+        else:
+            out[k] = v
+    return out
+
+
 class HostLoader:
-    """Deterministic shuffling, batching, parallel-decode iterator."""
+    """Deterministic shuffling, batching, parallel-decode iterator.
+
+    ``transfer_uint8=True`` re-encodes batches via ``encode_batch_uint8``
+    before they leave the host (only safe when class ids fit in uint8 —
+    the caller gates on n_classes)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, workers: int = 4, drop_last: bool = True,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 transfer_uint8: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,6 +58,7 @@ class HostLoader:
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
+        self.transfer_uint8 = transfer_uint8
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -86,12 +108,14 @@ class HostLoader:
                     break
                 batch_buf.append(window.popleft().result())
                 if len(batch_buf) == self.batch_size:
-                    yield {k: np.stack([s[k] for s in batch_buf])
-                           for k in batch_buf[0]}
+                    yield self._collate(batch_buf)
                     batch_buf = []
             if batch_buf and not self.drop_last:
-                yield {k: np.stack([s[k] for s in batch_buf])
-                       for k in batch_buf[0]}
+                yield self._collate(batch_buf)
+
+    def _collate(self, samples) -> Dict[str, np.ndarray]:
+        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        return encode_batch_uint8(batch) if self.transfer_uint8 else batch
 
 
 class ShardedLoader:

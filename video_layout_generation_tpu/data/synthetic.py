@@ -24,15 +24,26 @@ from ..ops.colorize import CITYSCAPES_COLORS
 
 
 class SyntheticTriplets:
+    """``cache=True`` memoizes rendered samples in compact uint8 form
+    (scenes are deterministic per index, so re-renders across epochs are
+    pure waste on the single host core); ``emit_uint8=True`` returns the
+    uint8 encoding directly (the pipeline's compact-transfer format,
+    data/pipeline.py:encode_batch_uint8) instead of the float contract.
+    Both need class ids < 256 and fall back to uncached float otherwise."""
+
     def __init__(self, size: int = 64, image_hw: Tuple[int, int] = (256, 256),
                  n_classes: int = 20, n_shapes: int = 6, stride: int = 3,
-                 seed: int = 0):
+                 seed: int = 0, cache: bool = True,
+                 emit_uint8: bool = False):
         self.size = size
         self.hw = image_hw
         self.n_classes = n_classes
         self.n_shapes = n_shapes
         self.stride = stride
         self.seed = seed
+        ids_fit = n_classes <= 255
+        self._cache = {} if (cache and ids_fit) else None
+        self.emit_uint8 = emit_uint8 and ids_fit
 
     def __len__(self) -> int:
         return self.size
@@ -79,14 +90,45 @@ class SyntheticTriplets:
             segs.append(seg)
         return np.stack(imgs), np.stack(segs)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def _sample_uint8(self, index: int) -> Dict[str, np.ndarray]:
         shapes = self._scene(index)
         out: Dict[str, np.ndarray] = {}
         for k, t in ((1, 0), (2, self.stride), (3, 2 * self.stride)):
             img, seg = self._render(shapes, t)
-            out[f"img{k}"] = img
+            out[f"img{k}"] = (img * 255.0 + 0.5).astype(np.uint8)
             if k < 3:
-                out[f"seg{k}"] = seg[..., None].astype(np.float32)
+                out[f"seg{k}"] = seg[..., None].astype(np.uint8)
             else:
-                out["seg3"] = seg
+                out["seg3"] = seg.astype(np.uint8)
         return out
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        if self._cache is None and not self.emit_uint8:
+            # uncached float path (ids may exceed uint8)
+            shapes = self._scene(index)
+            out: Dict[str, np.ndarray] = {}
+            for k, t in ((1, 0), (2, self.stride), (3, 2 * self.stride)):
+                img, seg = self._render(shapes, t)
+                out[f"img{k}"] = img
+                if k < 3:
+                    out[f"seg{k}"] = seg[..., None].astype(np.float32)
+                else:
+                    out["seg3"] = seg
+            return out
+        if self._cache is not None:
+            u8 = self._cache.get(index)
+            if u8 is None:
+                u8 = self._sample_uint8(index)
+                self._cache[index] = u8
+        else:
+            u8 = self._sample_uint8(index)
+        if self.emit_uint8:
+            return u8
+        return {
+            "img1": u8["img1"].astype(np.float32) / 255.0,
+            "img2": u8["img2"].astype(np.float32) / 255.0,
+            "img3": u8["img3"].astype(np.float32) / 255.0,
+            "seg1": u8["seg1"].astype(np.float32),
+            "seg2": u8["seg2"].astype(np.float32),
+            "seg3": u8["seg3"].astype(np.int32),
+        }

@@ -15,14 +15,18 @@ surface (src/main.py:147-158). Semantics implemented:
 Both updates live in ONE jitted program — no host round-trip between the
 D and G halves; XLA schedules the shared generator forward once.
 
-Note: discriminators with ``norm='batch'`` need mutable batch_stats and are
-not supported by this fused step; use instance/none norm (the reference's
-default is instance, src/main.py:154).
+BatchNorm discriminators (torch pix2pix's ``define_D`` default norm,
+src/models/networks.py:131) are supported: running stats live in
+``GanTrainState.disc_stats`` and are threaded through the step with the
+torch update order (fake forward, then real forward, then the G-side
+forward) — all still inside ONE compiled program. The WGAN-GP interpolate
+forward does not update stats (deviation: negligible running-stat drift,
+DEVIATIONS.md).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.struct
 import jax
@@ -33,13 +37,14 @@ from ..losses.gan import gan_loss, gradient_penalty
 from ..losses.pixel import l1_loss
 from .assemble import normalize_model_output
 from .state import TrainState
-from .steps import _maybe_flip, prepare_inputs
+from .steps import _maybe_flip, decode_batch, prepare_inputs
 
 
 @flax.struct.dataclass
 class GanTrainState:
     gen: TrainState
     disc: TrainState
+    disc_stats: Any = None   # BatchNorm running stats (norm='batch' only)
 
     @property
     def step(self):
@@ -51,10 +56,26 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
                         gan_mode: str = "lsgan", w_l1: float = 40.0,
                         w_style: float = 20.0, w_seg: float = 10.0,
                         lambda_gp: float = 10.0, flip_mode: str = "batch",
-                        donate: bool = True):
-    """Returns jitted ``gan_step(state, hned_params, batch, rng)``."""
+                        donate: bool = True,
+                        disc_batch_stats: bool = False):
+    """Returns jitted ``gan_step(state, hned_params, batch, rng)``.
+
+    ``disc_batch_stats=True`` for BatchNorm discriminators: ``disc_apply``
+    is then the Module.apply taking {'params', 'batch_stats'} variables with
+    ``train=True, mutable=['batch_stats']``; running-stat updates thread
+    through the step in torch's forward order."""
+
+    def run_d(d_params, stats, z):
+        """Discriminator forward returning (logits, new_stats)."""
+        if not disc_batch_stats:
+            return disc_apply(d_params, z), stats
+        out, upd = disc_apply({"params": d_params["params"],
+                               "batch_stats": stats}, z,
+                              train=True, mutable=["batch_stats"])
+        return out, jax.lax.stop_gradient(upd["batch_stats"])
 
     def gan_step(state: GanTrainState, hned_params, batch, rng):
+        batch = decode_batch(batch)
         rng_flip, rng_gp = jax.random.split(rng)
         x, f3n = prepare_inputs(hned_apply, hned_params, batch)
         s3 = batch["seg3"]
@@ -85,38 +106,44 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
 
         # ---- D update -----------------------------------------------
         def d_loss_fn(d_params):
-            pred_fake = disc_apply(d_params, fake_pair_detached)
-            pred_real = disc_apply(d_params, real_pair)
+            # torch forward order: fake then real, stats threaded through
+            pred_fake, s1 = run_d(d_params, state.disc_stats,
+                                  fake_pair_detached)
+            pred_real, s2 = run_d(d_params, s1, real_pair)
             loss_fake = gan_loss(pred_fake, False, gan_mode)
             loss_real = gan_loss(pred_real, True, gan_mode)
             loss_d = 0.5 * (loss_fake + loss_real)
             if gan_mode == "wgangp":
                 pen, _ = gradient_penalty(
-                    lambda z: disc_apply(d_params, z), real_pair,
+                    lambda z: run_d(d_params, s2, z)[0], real_pair,
                     fake_pair_detached, rng_gp, lambda_gp=lambda_gp)
                 loss_d = loss_d + pen
-            return loss_d, (loss_fake, loss_real)
+            return loss_d, (loss_fake, loss_real, s2)
 
-        (loss_d, (loss_d_fake, loss_d_real)), d_grads = jax.value_and_grad(
+        ((loss_d, (loss_d_fake, loss_d_real, stats_d)),
+         d_grads) = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.disc.params)
         new_disc = state.disc.apply_gradients(d_grads)
 
         # ---- G update (against the updated D) -----------------------
         def g_loss_fn(g_params):
+            # the G forward through D also updates running stats in train
+            # mode (torch semantics), hence the threaded s_g
             seg_logits_g, img_g = gen_apply(g_params, x)
             img_gn = normalize_model_output(img_g)
             fake_pair = jnp.concatenate([f1n, f2n, img_gn], axis=-1)
-            pred_fake = disc_apply(
-                jax.lax.stop_gradient(new_disc.params), fake_pair)
+            pred_fake, s_g = run_d(
+                jax.lax.stop_gradient(new_disc.params), stats_d, fake_pair)
             loss_gan = gan_loss(pred_fake, True, gan_mode)
             loss_l1 = l1_loss(img_gn, f3n) * w_l1
             loss_style = combined_loss(img_gn, f3n) * w_style
             loss_seg = cross_entropy_loss(seg_logits_g, s3) * w_seg
             total = loss_gan + loss_l1 + loss_style + loss_seg
-            return total, {"loss_gan": loss_gan, "loss_l1": loss_l1,
-                           "loss_style": loss_style, "loss_seg": loss_seg}
+            return total, ({"loss_gan": loss_gan, "loss_l1": loss_l1,
+                            "loss_style": loss_style, "loss_seg": loss_seg},
+                           s_g)
 
-        (loss_g, g_metrics), g_grads = jax.value_and_grad(
+        (loss_g, (g_metrics, stats_g)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.gen.params)
         new_gen = state.gen.apply_gradients(g_grads)
 
@@ -124,6 +151,7 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
         metrics.update({"loss": loss_g, "loss_d": loss_d,
                         "loss_d_fake": loss_d_fake,
                         "loss_d_real": loss_d_real})
-        return GanTrainState(gen=new_gen, disc=new_disc), metrics
+        return GanTrainState(gen=new_gen, disc=new_disc,
+                             disc_stats=stats_g), metrics
 
     return jax.jit(gan_step, donate_argnums=(0,) if donate else ())

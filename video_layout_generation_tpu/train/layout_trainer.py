@@ -85,7 +85,10 @@ class LayoutTrainer:
             HostLoader(ds, cfg.batch_size, shuffle=sh, seed=cfg.seed,
                        workers=cfg.workers,
                        process_index=jax.process_index(),
-                       process_count=jax.process_count()), self.mesh)
+                       process_count=jax.process_count(),
+                       transfer_uint8=(cfg.transfer_uint8
+                                       and cfg.n_classes <= 255)),
+            self.mesh)
         self.train_loader = mk(dataset_train, True)
         self.val_loader = mk(dataset_val, False)
 

@@ -44,6 +44,26 @@ def _maybe_flip(coin, *tensors):
                               lambda ts: ts, tensors))
 
 
+def decode_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Device-side decode of compact-transfer batches.
+
+    The pipeline may ship frames/layouts as uint8 (4x less H2D traffic —
+    decisive on tunneled devices, and exact for 8-bit PNG sources like
+    Cityscapes): frames become float32 in [0,1], layout ids become float32
+    model channels / int32 targets. float32 batches pass through unchanged
+    (dtype checks resolve at trace time)."""
+    out = dict(batch)
+    for k in ("img1", "img2", "img3"):
+        if k in out and out[k].dtype == jnp.uint8:
+            out[k] = out[k].astype(jnp.float32) * (1.0 / 255.0)
+    for k in ("seg1", "seg2"):
+        if k in out and out[k].dtype != jnp.float32:
+            out[k] = out[k].astype(jnp.float32)
+    if "seg3" in out and out["seg3"].dtype != jnp.int32:
+        out["seg3"] = out["seg3"].astype(jnp.int32)
+    return out
+
+
 def prepare_inputs(hned_apply: Optional[Callable], hned_params,
                    batch: Dict[str, jnp.ndarray]):
     """Edges + normalization + channel assembly (no flip)."""
@@ -86,6 +106,7 @@ def make_train_step(model_apply: Callable, hned_apply: Optional[Callable],
     loss_fn = make_loss_fn(model_apply, combined_loss, w_l1, w_style, w_seg)
 
     def train_step(state: TrainState, hned_params, batch, rng):
+        batch = decode_batch(batch)
         x, f3n = prepare_inputs(hned_apply, hned_params, batch)
         s3 = batch["seg3"]
         if flip_mode == "batch":
@@ -119,6 +140,7 @@ def make_eval_step(model_apply: Callable, hned_apply: Optional[Callable],
     loss_fn = make_loss_fn(model_apply, combined_loss, w_l1, w_style, w_seg)
 
     def eval_step(params, hned_params, batch):
+        batch = decode_batch(batch)
         x, f3n = prepare_inputs(hned_apply, hned_params, batch)
         _, (metrics, seg_logits, img_n) = loss_fn(params, x, f3n,
                                                   batch["seg3"])

@@ -40,7 +40,7 @@ from ..utils.meters import StepTimer
 from .assemble import denormalize_image, normalize_image
 from .rollout import make_rollout_fn
 from .state import TrainState, current_lr, epoch_decayed_lr, make_optimizer, set_lr
-from .steps import make_eval_step, make_train_step
+from .steps import decode_batch, make_eval_step, make_train_step
 
 
 def _build_model(cfg: Config):
@@ -98,12 +98,15 @@ class Trainer:
         if cfg.gan_train:
             from .gan import GanTrainState
             self.disc = self._build_discriminator(cfg, dtype)
-            d_params = jax.jit(self.disc.init)(
-                jax.random.key(1), jnp.zeros((1, h, w, 9), jnp.float32))
+            d_vars = dict(jax.jit(self.disc.init)(
+                jax.random.key(1), jnp.zeros((1, h, w, 9), jnp.float32)))
+            # BatchNorm running stats live outside the optimized params
+            disc_stats = d_vars.pop("batch_stats", None)
             d_tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.beta1)
             self.state = GanTrainState(gen=gen_state,
-                                       disc=TrainState.create(d_params,
-                                                              d_tx))
+                                       disc=TrainState.create(d_vars,
+                                                              d_tx),
+                                       disc_stats=disc_stats)
         else:
             self.disc = None
             self.state = gen_state
@@ -139,7 +142,8 @@ class Trainer:
             from .gan import make_gan_train_step
             self._train_step = make_gan_train_step(
                 model_apply, self.disc.apply, hned_apply, self.combined,
-                cfg.gan_mode, cfg.w_l1, cfg.w_style, cfg.w_seg)
+                cfg.gan_mode, cfg.w_l1, cfg.w_style, cfg.w_seg,
+                disc_batch_stats=(self.disc.norm == "batch"))
         else:
             self._train_step = make_train_step(
                 model_apply, hned_apply, self.combined,
@@ -225,7 +229,9 @@ class Trainer:
                           shuffle=shuffle,
                           seed=self.cfg.seed, workers=self.cfg.workers,
                           process_index=jax.process_index(),
-                          process_count=n_proc)
+                          process_count=n_proc,
+                          transfer_uint8=(self.cfg.transfer_uint8
+                                          and self.cfg.n_classes <= 255))
         return ShardedLoader(host, self.mesh)
 
     # ------------------------------------------------------------------
@@ -234,31 +240,47 @@ class Trainer:
         self.epoch = epoch + 1
         self.train_loader.set_epoch(epoch)
         self.val_loader.set_epoch(epoch)
-        if self.cfg.optimizer == "sgd":
-            lr = epoch_decayed_lr(self.cfg.lr, epoch,
-                                  self.cfg.lr_decay_step,
-                                  self.cfg.lr_decay_gamma)
-            if self.cfg.gan_train:
-                self.state = self.state.replace(
-                    gen=set_lr(self.state.gen, lr),
-                    disc=set_lr(self.state.disc, lr))
-                lr_now = current_lr(self.state.gen)
-            else:
-                self.state = set_lr(self.state, lr)
-                lr_now = current_lr(self.state)
-            if is_primary():
-                self.writer.add_scalar("other/lr-epoch", lr_now, self.epoch)
+        cfg = self.cfg
+        lr = None
+        # pix2pix scheduler policies (reference src/models/networks.py:38-64)
+        if cfg.lr_policy == "linear":
+            from .schedules import linear_lr
+            lr = linear_lr(cfg.lr, epoch, cfg.epoch_count, cfg.niter,
+                           cfg.niter_decay)
+        elif cfg.lr_policy == "step":
+            from .schedules import step_lr
+            lr = step_lr(cfg.lr, epoch, cfg.lr_decay_iters)
+        elif cfg.lr_policy == "cosine":
+            from .schedules import cosine_lr
+            lr = cosine_lr(cfg.lr, epoch, cfg.niter)
+        elif cfg.optimizer == "sgd":  # reference set_epoch intent (§2c#8)
+            lr = epoch_decayed_lr(cfg.lr, epoch, cfg.lr_decay_step,
+                                  cfg.lr_decay_gamma)
+        if lr is not None:
+            self._apply_lr(lr)
+
+    def _apply_lr(self, lr: float):
+        if self.cfg.gan_train:
+            self.state = self.state.replace(
+                gen=set_lr(self.state.gen, lr),
+                disc=set_lr(self.state.disc, lr))
+            lr_now = current_lr(self.state.gen)
+        else:
+            self.state = set_lr(self.state, lr)
+            lr_now = current_lr(self.state)
+        if is_primary():
+            self.writer.add_scalar("other/lr-epoch", lr_now, self.epoch)
 
     def train(self):
         self.logger.info("Training started")
         cfg = self.cfg
         timer = StepTimer()
         n_batches = len(self.train_loader)
+        base_key = jax.random.key(cfg.seed)  # one device op per epoch
         for i, batch in enumerate(self.train_loader):
             timer.mark_loaded()
             self.global_step += 1
-            rng = jax.random.fold_in(jax.random.key(cfg.seed),
-                                     self.global_step)
+            rng = jax.random.fold_in(base_key, self.global_step)
             self.state, metrics = self._train_step(
                 self.state, self.hned_params, batch, rng)
             if is_primary() and i % cfg.print_freq == 0:
@@ -292,6 +314,7 @@ class Trainer:
         the predicted-frame edge map."""
         _, seg_ids, img_n = self._eval_step(self.model_params,
                                             self.hned_params, batch)
+        batch = decode_batch(batch)
         step = self.global_step
         self.writer.add_image("train/img gt", np.asarray(batch["img3"]),
                               step)
@@ -356,6 +379,7 @@ class Trainer:
         normalized prediction, seg1, seg2, seg3, and the predicted seg —
         16 channels. Multi-host: batch arrays are sharded across processes,
         so every process joins the allgather and only primary writes."""
+        batch = decode_batch(batch)
         stack = jnp.concatenate([
             normalize_image(batch["img1"]),
             normalize_image(batch["img2"]),
@@ -379,11 +403,13 @@ class Trainer:
             return
         self.logger.info("Saving checkpoint..")
         if self.cfg.gan_train:
+            extra = {"disc_params": self.state.disc.params,
+                     "disc_opt_state": self.state.disc.opt_state}
+            if self.state.disc_stats is not None:
+                extra["disc_stats"] = self.state.disc_stats
             self.ckpt.save(
                 self.epoch, self.state.gen.params, self.state.gen.opt_state,
-                self.global_step, self.cfg.arch,
-                extra={"disc_params": self.state.disc.params,
-                       "disc_opt_state": self.state.disc.opt_state})
+                self.global_step, self.cfg.arch, extra=extra)
         else:
             self.ckpt.save(self.epoch, self.state.params,
                            self.state.opt_state, self.global_step,
@@ -403,7 +429,9 @@ class Trainer:
             if "disc_params" in tree:
                 disc = disc.replace(params=tree["disc_params"],
                                     opt_state=tree["disc_opt_state"])
-            self.state = self.state.replace(gen=gen, disc=disc)
+            self.state = self.state.replace(
+                gen=gen, disc=disc,
+                disc_stats=tree.get("disc_stats", self.state.disc_stats))
         else:
             self.state = self.state.replace(params=tree["params"],
                                             opt_state=tree["opt_state"])
@@ -449,11 +477,17 @@ class Trainer:
     def fit(self):
         """Full training run (reference worker loop, src/main.py:76-82);
         honors ``val_interval`` (parsed but unused in the reference)."""
+        plateau = None
+        if self.cfg.lr_policy == "plateau":
+            from .schedules import PlateauScheduler
+            plateau = PlateauScheduler(self.cfg.lr)
         metrics = {}
         for epoch in range(self.cfg.epochs):
             self.set_epoch(epoch)
             self.train()
             if (epoch + 1) % max(self.cfg.val_interval, 1) == 0:
                 metrics = self.validate()
+                if plateau is not None:
+                    self._apply_lr(plateau.update(metrics["loss"]))
             self.save_checkpoint(metrics)
         return metrics
