@@ -179,3 +179,62 @@ def test_packed_executor_residual_plumbing_cpu():
     got = fg._lateral_packed(p, xp, residual=r)
     ref = fg._lateral_packed(p, xp) + r
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_lateral_matches_xla_chain(interp):
+    """Whole-lateral kernel (prelu->conv->prelu->conv [+res]) vs the XLA
+    packed chain, fp32, including image edges across tile boundaries."""
+    ci = 32
+    x = jnp.asarray(_rand(2, 16, 16, ci, seed=3))
+    xp = pack2x2(x)
+    w0 = pack_kernel3x3(jnp.asarray(_rand(3, 3, ci, ci, seed=4)) * 0.2)
+    w1 = pack_kernel3x3(jnp.asarray(_rand(3, 3, ci, ci, seed=5)) * 0.2)
+    b0 = jnp.asarray(_rand(ci, seed=6) * 0.1)
+    b1 = jnp.asarray(_rand(ci, seed=7) * 0.1)
+    a0 = jnp.asarray(0.25)
+    a1 = jnp.asarray(0.1)
+    res = pack2x2(jnp.asarray(_rand(2, 16, 16, ci, seed=8)))
+
+    def prelu(z, a):
+        return jnp.where(z >= 0, z, a * z)
+
+    ref = conv_packed3x3(prelu(xp, a0), w0, b0)
+    ref = conv_packed3x3(prelu(ref, a1), w1, b1)
+
+    out = m.fused_lateral_packed3x3(xp, w0, b0, a0, w1, b1, a1, None,
+                                    tile_h=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    out_r = m.fused_lateral_packed3x3(xp, w0, b0, a0, w1, b1, a1, res,
+                                      tile_h=4)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref + res),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_lateral_gradients_match(interp):
+    """Backward defers to the XLA chain: grads must match exactly."""
+    ci = 32
+    x = jnp.asarray(_rand(1, 8, 8, ci, seed=9))
+    xp = pack2x2(x)
+    w0 = pack_kernel3x3(jnp.asarray(_rand(3, 3, ci, ci, seed=10)) * 0.2)
+    w1 = pack_kernel3x3(jnp.asarray(_rand(3, 3, ci, ci, seed=11)) * 0.2)
+    b0 = jnp.asarray(_rand(ci, seed=12) * 0.1)
+    b1 = jnp.asarray(_rand(ci, seed=13) * 0.1)
+    a0, a1 = jnp.asarray(0.25), jnp.asarray(0.1)
+
+    def prelu(z, a):
+        return jnp.where(z >= 0, z, a * z)
+
+    def f_ref(xp_):
+        y = conv_packed3x3(prelu(xp_, a0), w0, b0)
+        return conv_packed3x3(prelu(y, a1), w1, b1).sum()
+
+    def f_ker(xp_):
+        return m.fused_lateral_packed3x3(xp_, w0, b0, a0, w1, b1, a1,
+                                         None, tile_h=4).sum()
+
+    g_ref = jax.grad(f_ref)(xp)
+    g_ker = jax.grad(f_ker)(xp)
+    np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)

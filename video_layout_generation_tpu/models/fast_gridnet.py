@@ -80,6 +80,15 @@ def _sparse_fused_on() -> bool:
             and jax.default_backend() in ("tpu", "axon"))
 
 
+def _fused_lateral_on() -> bool:
+    """Whole-lateral fused Pallas kernel (ops/pallas/conv_packed.py:
+    fused_lateral_packed3x3) — OPT-IN via VLG_FUSED_LATERAL=1 while being
+    A/B'd on hardware."""
+    import os
+    return (os.environ.get("VLG_FUSED_LATERAL", "0") == "1"
+            and jax.default_backend() in ("tpu", "axon"))
+
+
 def _lateral_packed(p, xp, residual=None):
     """LateralBlock in packed row-0 space. ``residual`` (packed, output
     shape) is the grid-fusion addend — fused into the final conv's f32
@@ -87,6 +96,14 @@ def _lateral_packed(p, xp, residual=None):
     dt = xp.dtype
     w0 = pack_kernel3x3(p["Conv_0"]["kernel"]).astype(dt)
     w1 = pack_kernel3x3(p["Conv_1"]["kernel"]).astype(dt)
+    if (_fused_lateral_on() and "Conv_2" not in p
+            and xp.shape[-1] % 128 == 0
+            and w0.shape[-1] == xp.shape[-1]
+            and w1.shape[-1] == xp.shape[-1]):
+        from ..ops.pallas.conv_packed import fused_lateral_packed3x3
+        return fused_lateral_packed3x3(
+            xp, w0, p["Conv_0"]["bias"], p["PReLU_0"]["alpha"],
+            w1, p["Conv_1"]["bias"], p["PReLU_1"]["alpha"], residual)
     if (_sparse_fused_on() and xp.shape[-1] % 128 == 0
             and w0.shape[-1] % 128 == 0 and w1.shape[-1] % 128 == 0):
         from ..ops.pallas.conv_packed import (prelu_conv_packed3x3,

@@ -215,6 +215,199 @@ def _prelu_ref(xp, alpha):
     return jnp.where(xp >= 0, xp, a * xp)
 
 
+# ---- fully fused LateralBlock ---------------------------------------------
+#
+# One pallas_call for the whole packed lateral (reference LateralBlock,
+# src/models/modules.py:5-25 executing in 2x2 packed space):
+#
+#   out = conv1(prelu1(conv0(prelu0(x)))) [+ residual]
+#
+# Both sparse packed convs, both PReLUs, the biases, and the grid-fusion
+# residual execute in a single VMEM-resident tile pass: the intermediate
+# activation never touches HBM, and there is NO elementwise epilogue left
+# for XLA to lose at a kernel boundary (the failure mode that sank the
+# per-conv sparse kernels end-to-end — see the note above).
+# Channel-preserving laterals only (c4in == c4out, no Conv_2 shortcut) —
+# exactly GridNet's in-grid row-0 laterals. Forward-only; backward defers
+# to jax.vjp of the XLA formulation (identical math).
+
+
+def _fused_lateral_kernel(res: bool):
+    def kernel(*refs):
+        (x_t2, x_t1, x_mid, x_b1, x_b2,
+         wa0_ref, wb0_ref, wa1_ref, wb1_ref, b0_ref, b1_ref,
+         a_ref) = refs[:12]
+        r_ref = refs[12] if res else None
+        out_ref = refs[-1]
+
+        th = x_mid.shape[1]
+        w = x_mid.shape[2]
+        c4 = x_mid.shape[3]
+        c2 = c4 // 2
+        co4 = out_ref.shape[3]
+        co2 = co4 // 2
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+
+        a0 = a_ref[0, 0]
+        a1 = a_ref[0, 1]
+
+        def _prelu(z, a):
+            return jnp.where(z.astype(jnp.float32) >= 0,
+                             z, a.astype(z.dtype) * z)
+
+        zrow = jnp.zeros_like(x_mid[0][:1])
+        t2 = jnp.where(j == 0, zrow, x_t2[0])
+        t1 = jnp.where(j == 0, zrow, x_t1[0])
+        b1r = jnp.where(j == nj - 1, zrow, x_b1[0])
+        b2r = jnp.where(j == nj - 1, zrow, x_b2[0])
+        # (th + 4) rows of PReLU'd input: tile rows plus a 2-row halo on
+        # each side (conv0 feeds conv1's 1-row halo)
+        x_ext = _prelu(jnp.concatenate([t2, t1, x_mid[0], b1r, b2r],
+                                       axis=0), a0)
+
+        def conv_stage(xact, wa_r, wb_r, n_out, cin4, cout4):
+            ci2 = cin4 // 2
+            mid = xact[1:n_out + 1]
+            up = xact[0:n_out]
+            dn = xact[2:n_out + 2]
+            updn = jnp.concatenate([dn[:, :, :ci2], up[:, :, ci2:]],
+                                   axis=-1)
+            y = jnp.dot(mid.reshape(n_out * w, cin4), wa_r[...],
+                        preferred_element_type=jnp.float32)
+            y = y + jnp.dot(updn.reshape(n_out * w, cin4), wb_r[...],
+                            preferred_element_type=jnp.float32)
+            y = y.reshape(n_out, w, 3 * cout4)
+            zc = jnp.zeros((n_out, 1, cout4), jnp.float32)
+            return (y[:, :, cout4:2 * cout4]
+                    + jnp.concatenate([zc, y[:, :-1, :cout4]], axis=1)
+                    + jnp.concatenate([y[:, 1:, 2 * cout4:], zc], axis=1))
+
+        # conv0 over (th + 2) output rows [tile start - 1, tile end + 1)
+        y0 = conv_stage(x_ext, wa0_ref, wb0_ref, th + 2, c4, co4)
+        y0 = y0 + b0_ref[...].astype(jnp.float32)
+        # rows outside the image are SAME-padding zeros for conv1, not
+        # conv0(0)=bias
+        zy = jnp.zeros_like(y0[:1])
+        y0 = jnp.concatenate([jnp.where(j == 0, zy, y0[:1]), y0[1:]],
+                             axis=0)
+        y0 = jnp.concatenate([y0[:-1],
+                              jnp.where(j == nj - 1, zy, y0[-1:])], axis=0)
+        # bf16 round-trip matches the XLA path's conv -> prelu dtype chain
+        y0 = _prelu(y0.astype(x_mid.dtype), a1)
+
+        z = conv_stage(y0, wa1_ref, wb1_ref, th, co4, co4)
+        z = z + b1_ref[...].astype(jnp.float32)
+        if res:
+            z = z + r_ref[0].astype(jnp.float32)
+        out_ref[0] = z.astype(out_ref.dtype)
+        del co2
+    return kernel
+
+
+def _fused_lateral_impl(xp, wp0, bias0, alpha0, wp1, bias1, alpha1,
+                        residual, tile_h: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, c4 = xp.shape
+    co4 = wp1.shape[-1]
+    th = min(tile_h, h)
+    while h % th:
+        th //= 2
+    nj = h // th
+
+    wa0, wb0 = wmats_from_packed(wp0.astype(xp.dtype))
+    wa1, wb1 = wmats_from_packed(wp1.astype(xp.dtype))
+    b0 = jnp.tile(bias0.astype(jnp.float32), 4).reshape(1, co4)
+    b1 = jnp.tile(bias1.astype(jnp.float32), 4).reshape(1, co4)
+    alphas = jnp.stack([jnp.asarray(alpha0, jnp.float32).reshape(()),
+                        jnp.asarray(alpha1, jnp.float32).reshape(())]
+                       ).reshape(1, 2)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, w, c4),
+                     lambda i, j: (i, jnp.maximum(j * th - 2, 0), 0, 0)),
+        pl.BlockSpec((1, 1, w, c4),
+                     lambda i, j: (i, jnp.maximum(j * th - 1, 0), 0, 0)),
+        pl.BlockSpec((1, th, w, c4), lambda i, j: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, w, c4),
+                     lambda i, j: (i, jnp.minimum(j * th + th, h - 1),
+                                   0, 0)),
+        pl.BlockSpec((1, 1, w, c4),
+                     lambda i, j: (i, jnp.minimum(j * th + th + 1, h - 1),
+                                   0, 0)),
+        pl.BlockSpec((c4, 3 * co4), lambda i, j: (0, 0)),
+        pl.BlockSpec((c4, 3 * co4), lambda i, j: (0, 0)),
+        pl.BlockSpec((co4, 3 * co4), lambda i, j: (0, 0)),
+        pl.BlockSpec((co4, 3 * co4), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, co4), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, co4), lambda i, j: (0, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [xp, xp, xp, xp, xp, wa0, wb0, wa1, wb1, b0, b1, alphas]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, th, w, co4),
+                                     lambda i, j: (i, j, 0, 0)))
+        args.append(residual)
+
+    flops_conv = 2 * n * h * w * c4 * 3 * co4 * 2
+    return pl.pallas_call(
+        _fused_lateral_kernel(residual is not None),
+        grid=(n, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, w, co4), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co4), xp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * flops_conv,
+            bytes_accessed=(n * h * w * (c4 + co4) * xp.dtype.itemsize
+                            + 4 * c4 * 3 * co4 * xp.dtype.itemsize),
+            transcendentals=0),
+    )(*args)
+
+
+def _lateral_ref_xla(xp, wp0, bias0, alpha0, wp1, bias1, alpha1, residual):
+    y = _prelu_ref(xp, alpha0)
+    y = _xla_conv_packed3x3(y, wp0.astype(xp.dtype), bias0)
+    y = _prelu_ref(y, alpha1)
+    y = _xla_conv_packed3x3(y, wp1.astype(xp.dtype), bias1)
+    if residual is not None:
+        y = y + residual
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_lateral_packed3x3(xp, wp0, bias0, alpha0, wp1, bias1, alpha1,
+                            residual=None, tile_h: int = 16):
+    """Whole LateralBlock in one kernel: conv1(prelu1(conv0(prelu0(x))))
+    [+ residual]. Channel-preserving packed laterals only (no Conv_2).
+    wp0/wp1 from pack_kernel3x3, biases logical (Co,), alphas the
+    reference's scalar PReLU parameters."""
+    return _fused_lateral_impl(xp, wp0, bias0, alpha0, wp1, bias1, alpha1,
+                               residual, tile_h)
+
+
+def _fl_fwd(xp, wp0, bias0, alpha0, wp1, bias1, alpha1, residual, tile_h):
+    out = _fused_lateral_impl(xp, wp0, bias0, alpha0, wp1, bias1, alpha1,
+                              residual, tile_h)
+    return out, (xp, wp0, bias0, alpha0, wp1, bias1, alpha1, residual)
+
+
+def _fl_bwd(tile_h, resids, g):
+    xp, wp0, bias0, alpha0, wp1, bias1, alpha1, residual = resids
+    if residual is None:
+        _, vjp = jax.vjp(
+            lambda x, w0, b0, a0, w1, b1, a1:
+            _lateral_ref_xla(x, w0, b0, a0, w1, b1, a1, None),
+            xp, wp0, bias0, alpha0, wp1, bias1, alpha1)
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(_lateral_ref_xla, xp, wp0, bias0, alpha0, wp1, bias1,
+                     alpha1, residual)
+    return vjp(g)
+
+
+fused_lateral_packed3x3.defvjp(_fl_fwd, _fl_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def prelu_conv_packed3x3(xp, wp, bias, alpha, tile_h: int = 32):
     """Fused conv(prelu(x, alpha)) in packed space; bias logical (Co,),

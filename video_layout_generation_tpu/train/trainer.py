@@ -307,6 +307,13 @@ class Trainer:
                     self._log_train_images(batch)
             else:
                 timer.mark_computed()
+        # epoch-end sync: fetch one scalar so every dispatched step has
+        # completed before the caller proceeds/exits (block_until_ready is a
+        # no-op on tunneled devices; exiting with in-flight RPCs can wedge
+        # the remote server)
+        self.logger.debug("epoch drained at step %d"
+                          % int(self.state.step if not self.cfg.gan_train
+                                else self.state.gen.step))
 
     def _log_train_images(self, batch):
         """TB image grids like the reference (src/trainer.py:282-286):
