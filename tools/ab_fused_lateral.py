@@ -55,40 +55,52 @@ def main():
     print(f"rtt {rtt*1000:.1f} ms", flush=True)
 
     # ---- numerics check at the real shape (2x2, fused vs dense) --------
+    # EXACT integer-valued data: every precision path computes these
+    # exactly, so the gate tests kernel LOGIC only. (Gaussian f32 data
+    # shows ~1e-2 diffs that are pure precision policy — the TPU lowers
+    # f32 matmuls to reduced-precision MXU passes and the Pallas dot and
+    # XLA conv pick different splits; in the production bf16 dtype both
+    # run the same native bf16-multiply/f32-accumulate. See
+    # tools/debug_fused_lateral.py.)
     from video_layout_generation_tpu.ops.packed import (conv_packed3x3,
                                                         pack2x2,
                                                         pack_kernel3x3)
     from video_layout_generation_tpu.ops.pallas.conv_packed import (
         fused_lateral_packed3x3)
     ci = 32
-    xs = jnp.asarray(rng.standard_normal((2, H, W, ci)).astype(np.float32))
-    xp = pack2x2(xs)
-    w0 = pack_kernel3x3(jnp.asarray(
-        rng.standard_normal((3, 3, ci, ci)).astype(np.float32) * 0.2))
-    w1 = pack_kernel3x3(jnp.asarray(
-        rng.standard_normal((3, 3, ci, ci)).astype(np.float32) * 0.2))
-    b0 = jnp.asarray(rng.standard_normal(ci).astype(np.float32) * 0.1)
-    b1 = jnp.asarray(rng.standard_normal(ci).astype(np.float32) * 0.1)
-    a0, a1 = jnp.asarray(0.25), jnp.asarray(0.1)
+
+    def sparse_int(seed, shape, density=0.05):
+        r = np.random.default_rng(seed)
+        k = r.integers(-1, 2, shape).astype(np.float32)
+        return k * (r.random(shape) < density)
+
+    xs = rng.integers(-1, 2, (2, H, W, ci)).astype(np.float32)
+    xs *= rng.random((2, H, W, ci)) < 0.5
+    xp = pack2x2(jnp.asarray(xs)).astype(jnp.bfloat16)
+    w0 = pack_kernel3x3(jnp.asarray(sparse_int(1, (3, 3, ci, ci))))
+    w1 = pack_kernel3x3(jnp.asarray(sparse_int(2, (3, 3, ci, ci))))
+    b0 = jnp.zeros(ci)
+    b1 = jnp.zeros(ci)
+    a0, a1 = jnp.asarray(0.25), jnp.asarray(0.5)
 
     def prelu(z, a):
-        return jnp.where(z >= 0, z, a * z)
+        return jnp.where(z >= 0, z, a.astype(z.dtype) * z)
 
     @jax.jit
     def ref_fn(xp_):
-        y = conv_packed3x3(prelu(xp_, a0), w0, b0)
-        return conv_packed3x3(prelu(y, a1), w1, b1)
+        y = conv_packed3x3(prelu(xp_, a0), w0.astype(xp_.dtype), b0)
+        return conv_packed3x3(prelu(y, a1), w1.astype(xp_.dtype), b1)
 
     @jax.jit
     def ker_fn(xp_):
         return fused_lateral_packed3x3(xp_, w0, b0, a0, w1, b1, a1, None)
 
-    ref = np.asarray(ref_fn(xp))
-    out = np.asarray(ker_fn(xp))
+    ref = np.asarray(ref_fn(xp), np.float32)
+    out = np.asarray(ker_fn(xp), np.float32)
     diff = np.abs(ref - out).max()
-    print(f"fused-lateral max abs diff vs XLA (f32, 256px): {diff:.2e}",
-          flush=True)
-    assert diff < 5e-4, "numerics mismatch on hardware"
+    print(f"fused-lateral max abs diff vs XLA (exact-int bf16, 256px): "
+          f"{diff:.2e}", flush=True)
+    assert diff == 0.0, "logic mismatch on hardware"
 
     # ---- full-program A/B ----------------------------------------------
     # env flags are read at TRACE time (first call), so set them, then

@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--arch", default="GridNet")
     p.add_argument("--path", default="/tmp/vlg_convergence")
     p.add_argument("--no_edge", dest="edge", action="store_false")
+    p.add_argument("--hed_weights", default=None,
+                   help="pretrained HNED artifact (tools/pretrain_hned.py)")
+    p.add_argument("--vgg_weights", default=None,
+                   help="pretrained VGG artifact (tools/pretrain_vgg.py)")
     args = p.parse_args(argv)
 
     import jax
@@ -44,7 +48,8 @@ def main(argv=None):
                  image_size=(args.size, args.size), batch_size=args.bs,
                  epochs=args.epochs, edge=args.edge, arch=args.arch,
                  compute_dtype="bfloat16", workers=4, print_freq=8,
-                 path=args.path, mesh_shape=(1,), rollout_frames=8)
+                 path=args.path, mesh_shape=(1,), rollout_frames=8,
+                 hed_weights=args.hed_weights, vgg_weights=args.vgg_weights)
     t = Trainer(cfg)
     m = t.fit()
     out = {k: round(float(v), 4) for k, v in m.items()
