@@ -34,6 +34,17 @@ def _prelu(x, alpha):
     return jnp.where(x >= 0, x, a * x)
 
 
+def rollout_jit(fn):
+    """jit with the rollout's tuned TPU compile options: a 96MB scoped-vmem
+    budget measured +1.4% over the 16MB default on the full b128 rollout
+    (larger conv fusions; tools/xla_flag_sweep.py). CPU and other backends
+    get a plain jit (the TPU option would be rejected)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return jax.jit(fn, compiler_options={
+            "xla_tpu_scoped_vmem_limit_kib": "98304"})
+    return jax.jit(fn)
+
+
 def _conv_std(x, w, b, stride=1):
     if (stride == 1 and w.shape[0] == 3 and w.shape[1] == 3
             and _use_w1x2(x.shape, w.shape)):
@@ -383,4 +394,4 @@ def make_packed_rollout_fn(n_frames: int = 8,
         segs = segs.reshape(t, n, h, w, 1).astype(jnp.float32)
         return jnp.moveaxis(imgs, 0, 1), jnp.moveaxis(segs, 0, 1)
 
-    return jax.jit(rollout) if jit else rollout
+    return rollout_jit(rollout) if jit else rollout

@@ -212,4 +212,5 @@ def make_packed_rollout_fn(n_frames: int = 8,
         segs = segs.reshape(t, n, h, w, 1).astype(jnp.float32)
         return jnp.moveaxis(imgs, 0, 1), jnp.moveaxis(segs, 0, 1)
 
-    return jax.jit(rollout) if jit else rollout
+    from .fast_gridnet import rollout_jit
+    return rollout_jit(rollout) if jit else rollout
