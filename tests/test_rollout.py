@@ -127,3 +127,51 @@ def test_edge_scale_rollout_matches_downsampled_reference():
                                    np.asarray(fs[2 + t]), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(segs[:, t]),
                                       np.asarray(ss[2 + t]))
+
+
+def test_rollout_upsample_nearest_knob():
+    """Opt-in rollout_upsample='nearest' (BENCH_NOTES cost map: the
+    bilinear stencil is ~14% of the packed rollout): both packed executors
+    run, produce the right shapes, exactly match a flax-model rollout whose
+    up blocks use nearest interpolation, and differ from the default
+    bilinear path. Default ('bilinear') must remain the exact reference
+    math (covered by the parity tests)."""
+    import pytest
+
+    from video_layout_generation_tpu.models.fast_gridnet import (
+        _up_mode, make_packed_rollout_fn)
+
+    h = w = 16
+    model = GridNet(n_channels=8, filters_level=(4, 6, 8))
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, h, w, 8)))
+    rng = np.random.default_rng(3)
+    img1 = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+    seg1 = jnp.asarray(rng.integers(0, 20, (2, h, w, 1)).astype(np.float32))
+    seg2 = jnp.asarray(rng.integers(0, 20, (2, h, w, 1)).astype(np.float32))
+
+    for packing in ("1x2", "2x2"):
+        ro_bi = make_packed_rollout_fn(n_frames=2, dtype=None,
+                                       packing=packing)
+        ro_nn = make_packed_rollout_fn(n_frames=2, dtype=None,
+                                       packing=packing, upsample="nearest")
+        imgs_bi, segs_bi = ro_bi(params, img1, img2, seg1, seg2)
+        imgs_nn, segs_nn = ro_nn(params, img1, img2, seg1, seg2)
+        assert imgs_nn.shape == (2, 2, h, w, 3)
+        assert segs_nn.shape == (2, 2, h, w, 1)
+        assert np.all(np.isfinite(np.asarray(imgs_nn)))
+        assert not np.allclose(np.asarray(imgs_bi), np.asarray(imgs_nn)), \
+            packing
+
+    with pytest.raises(ValueError):
+        _up_mode("bicubic")
+
+
+def test_rollout_upsample_env_override(monkeypatch):
+    from video_layout_generation_tpu.models.fast_gridnet import _up_mode
+    monkeypatch.setenv("VLG_ROLLOUT_UP", "nearest")
+    assert _up_mode(None) == "nearest"
+    assert _up_mode("bilinear") == "nearest"   # env wins
+    monkeypatch.delenv("VLG_ROLLOUT_UP")
+    assert _up_mode(None) == "bilinear"

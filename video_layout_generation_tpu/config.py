@@ -106,6 +106,10 @@ class Config:
     # edge-mode rollout: run HNED on a 1/k downsample (opt-in approximation;
     # HNED dominates edge-mode rollout cost — train/rollout.py)
     rollout_edge_scale: int = 1
+    # rollout up-block interpolation: "bilinear" (exact reference math) or
+    # "nearest" (opt-in approximation; the stencil blends are ~14% of the
+    # packed rollout — BENCH_NOTES cost map). Packed executors only.
+    rollout_upsample: str = "bilinear"
 
     # -- pretrained weight artifacts ----------------------------------------
     hed_weights: Optional[str] = None   # converted HNED weights (.npz)
@@ -190,6 +194,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--vgg_weights", type=str, default=None)
     p.add_argument("--rollout_frames", type=int, default=8)
     p.add_argument("--rollout_edge_scale", type=int, default=1)
+    p.add_argument("--rollout_upsample", type=str, default="bilinear",
+                   choices=("bilinear", "nearest"))
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--loss_dtype", type=str, default="float32")
     p.add_argument("--remat", action="store_true")

@@ -163,15 +163,35 @@ def _down_std(p, x):
     return _conv_std(y, p["Conv_1"]["kernel"], p["Conv_1"]["bias"])
 
 
-def _up_std(p, x):
-    y = upsample2x_bilinear_align(x)
+def _up_mode(upsample: Optional[str]) -> str:
+    """Rollout upsample mode. "bilinear" (default) is exact reference math
+    (src/models/modules.py:50 align_corners bilinear); "nearest" is an
+    OPT-IN approximation — the stencil blends are ~14% of the b128 rollout
+    (BENCH_NOTES.md cost map) and edge-map/layout feedback is robust to the
+    interpolation kernel. Precedence: VLG_ROLLOUT_UP env > per-call arg >
+    "bilinear". Applies to the rollout executors only; train/eval applies
+    always use bilinear."""
+    import os
+    chosen = os.environ.get("VLG_ROLLOUT_UP") or upsample or "bilinear"
+    if chosen not in ("bilinear", "nearest"):
+        raise ValueError(
+            f"rollout upsample must be 'bilinear' or 'nearest', "
+            f"got {chosen!r}")
+    return chosen
+
+
+def _up_std(p, x, mode: str = "bilinear"):
+    if mode == "nearest":
+        y = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+    else:
+        y = upsample2x_bilinear_align(x)
     y = _prelu(y, p["PReLU_0"]["alpha"])
     y = _conv_std(y, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
     y = _prelu(y, p["PReLU_1"]["alpha"])
     return _conv_std(y, p["Conv_1"]["kernel"], p["Conv_1"]["bias"])
 
 
-def _up_to_packed(p, x):
+def _up_to_packed(p, x, mode: str = "bilinear"):
     """UpSamplingBlock producing packed row-0 output: packed upsample then
     packed convs.
 
@@ -183,7 +203,12 @@ def _up_to_packed(p, x):
     VLG_SPARSE_UP=1 re-enables the fused kernels here for experiments."""
     import os
     dt = x.dtype
-    y = packed_upsample2x_align(x)
+    if mode == "nearest":
+        # nearest 2x in packed space: all four spatial phases copy the
+        # source pixel -> four identical channel blocks (phase-major)
+        y = jnp.concatenate([x, x, x, x], axis=-1)
+    else:
+        y = packed_upsample2x_align(x)
     w0 = pack_kernel3x3(p["Conv_0"]["kernel"]).astype(dt)
     w1 = pack_kernel3x3(p["Conv_1"]["kernel"]).astype(dt)
     if (os.environ.get("VLG_SPARSE_UP", "0") == "1" and _sparse_fused_on()
@@ -304,7 +329,8 @@ def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
 def make_packed_rollout_fn(n_frames: int = 8,
                            dtype: Optional[Dtype] = jnp.bfloat16,
                            coord_in: bool = False, n_col: int = 6,
-                           jit: bool = True, packing: Optional[str] = None):
+                           jit: bool = True, packing: Optional[str] = None,
+                           upsample: Optional[str] = None):
     """Fully-packed autoregressive rollout (8-channel contract,
     train/rollout.py semantics): the feedback loop — argmax layout, output
     normalization, next-input assembly — stays in packed space, so the scan
@@ -318,8 +344,10 @@ def make_packed_rollout_fn(n_frames: int = 8,
         from . import fast_gridnet_w2
         return fast_gridnet_w2.make_packed_rollout_fn(
             n_frames=n_frames, dtype=dtype, coord_in=coord_in, n_col=n_col,
-            jit=jit)
+            jit=jit, upsample=upsample)
     from ..train.assemble import OUT_MEAN, OUT_STD
+
+    up_mode = _up_mode(upsample)
 
     # run the grid on an already-packed input and emit packed heads
     def core_packed(P, xp, cp):
@@ -340,11 +368,11 @@ def make_packed_rollout_fn(n_frames: int = 8,
                       + _lateral_std(C[f"lateral_2{i-1}"], x2))
             else:
                 x2 = _lateral_std(C[f"lateral_2{i-1}"], x2)
-                x1 = (_up_std(C[f"up_1{i}"], x2)
+                x1 = (_up_std(C[f"up_1{i}"], x2, up_mode)
                       + _lateral_std(C[f"lateral_1{i-1}"], x1))
                 x0 = _lateral_packed(C[f"lateral_0{i-1}"], x0,
                                      residual=_up_to_packed(C[f"up_0{i}"],
-                                                            x1))
+                                                            x1, up_mode))
         segp = _lateral_packed(P["lateral_out_seg"], x0)   # (.., 4*seg_out)
         imgp = _lateral_packed(P["lateral_out_img"], x0)   # (.., 4*3)
         return segp, imgp

@@ -67,9 +67,15 @@ def _down_from_w2(p, xw):
     return _conv_std(y, p["Conv_1"]["kernel"], p["Conv_1"]["bias"])
 
 
-def _up_to_w2(p, x):
+def _up_to_w2(p, x, mode: str = "bilinear"):
     """UpSamplingBlock: standard row-1 input -> width-packed row-0."""
-    y = upsample2x_align_to_1x2(x)
+    if mode == "nearest":
+        # nearest 2x into w2 space: repeat rows; both width phases copy
+        # the source pixel (dx-major packing -> two identical blocks)
+        xh = jnp.repeat(x, 2, 1)
+        y = jnp.concatenate([xh, xh], axis=-1)
+    else:
+        y = upsample2x_align_to_1x2(x)
     y = _prelu(y, p["PReLU_0"]["alpha"])
     y = _conv_w2(y, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
     y = _prelu(y, p["PReLU_1"]["alpha"])
@@ -109,7 +115,7 @@ def _coord_lateral_w2(p, xw, cw):
     return y
 
 
-def _grid_w2(P, xw, cw, n_col: int):
+def _grid_w2(P, xw, cw, n_col: int, up_mode: str = "bilinear"):
     """Shared grid body on a width-packed row-0 input; returns packed
     (seg, img) head outputs."""
     if cw is not None:
@@ -128,10 +134,10 @@ def _grid_w2(P, xw, cw, n_col: int):
                   + _lateral_std(C[f"lateral_2{i-1}"], x2))
         else:
             x2 = _lateral_std(C[f"lateral_2{i-1}"], x2)
-            x1 = (_up_std(C[f"up_1{i}"], x2)
+            x1 = (_up_std(C[f"up_1{i}"], x2, up_mode)
                   + _lateral_std(C[f"lateral_1{i-1}"], x1))
             x0 = _lateral_w2(C[f"lateral_0{i-1}"], x0,
-                             residual=_up_to_w2(C[f"up_0{i}"], x1))
+                             residual=_up_to_w2(C[f"up_0{i}"], x1, up_mode))
     segp = _lateral_w2(P["lateral_out_seg"], x0)
     imgp = _lateral_w2(P["lateral_out_img"], x0)
     return segp, imgp
@@ -160,7 +166,8 @@ def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
 def make_packed_rollout_fn(n_frames: int = 8,
                            dtype: Optional[Dtype] = jnp.bfloat16,
                            coord_in: bool = False, n_col: int = 6,
-                           jit: bool = True):
+                           jit: bool = True,
+                           upsample: Optional[str] = None):
     """Fully width-packed autoregressive rollout (8-channel contract,
     train/rollout.py semantics): argmax layout feedback, output affine,
     and next-input assembly all stay in packed space; seeds pack once
@@ -170,6 +177,8 @@ def make_packed_rollout_fn(n_frames: int = 8,
       imgs (N, T, H, W, 3) normalized, segs (N, T, H, W, 1) float ids.
     """
     from ..train.assemble import OUT_MEAN, OUT_STD
+    from .fast_gridnet import _up_mode
+    up_mode = _up_mode(upsample)
 
     def rollout(variables, img1, img2, seg1, seg2):
         P = variables["params"]
@@ -193,7 +202,7 @@ def make_packed_rollout_fn(n_frames: int = 8,
                      f_new.reshape(b, hh, ww, 2, 3),
                      s_new.reshape(b, hh, ww, 2, 1))
             xw = jnp.concatenate(parts, axis=-1).reshape(b, hh, ww, 16)
-            segp, imgp = _grid_w2(P, xw, cw, n_col)
+            segp, imgp = _grid_w2(P, xw, cw, n_col, up_mode)
             imgp = ((imgp.astype(jnp.float32) - mean) / std).astype(dt)
             seg_out = segp.shape[-1] // 2
             ids = jnp.argmax(

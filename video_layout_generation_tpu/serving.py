@@ -33,7 +33,7 @@ class LayoutPredictor:
                  filters_level=(32, 64, 96), use_bf16: bool = True,
                  hned=None, hned_params=None, use_edges: bool = False,
                  edge_scale: int = 1, quantize_transfer: bool = False,
-                 n_classes: int = 20):
+                 n_classes: int = 20, upsample: str = "bilinear"):
         if arch not in ("GridNet", "CoordGridNet"):
             raise ValueError(f"serving supports GridNet archs, got {arch}")
         self.arch = arch
@@ -61,7 +61,7 @@ class LayoutPredictor:
                                                      a, b, c, d)
         else:
             ro = make_packed_rollout_fn(n_frames=n_frames, dtype=dtype,
-                                        coord_in=coord)
+                                        coord_in=coord, upsample=upsample)
             self._rollout = lambda p, a, b, c, d: ro(p, a, b, c, d)
 
     @classmethod

@@ -159,7 +159,8 @@ class Trainer:
             from ..models.fast_gridnet import make_packed_rollout_fn
             packed_ro = make_packed_rollout_fn(
                 n_frames=cfg.rollout_frames, dtype=dtype,
-                coord_in=(cfg.arch == "CoordGridNet"))
+                coord_in=(cfg.arch == "CoordGridNet"),
+                upsample=cfg.rollout_upsample)
             self._rollout = (lambda p, hp, a, b, c, d:
                              packed_ro(p, a, b, c, d))
         else:
