@@ -175,3 +175,32 @@ def test_rollout_upsample_env_override(monkeypatch):
     assert _up_mode("bilinear") == "nearest"   # env wins
     monkeypatch.delenv("VLG_ROLLOUT_UP")
     assert _up_mode(None) == "bilinear"
+
+
+def test_apply_upsample_explicit_only(monkeypatch):
+    """make_packed_gridnet_apply's upsample is explicit-only: the
+    VLG_ROLLOUT_UP env override must NOT leak into train/eval applies
+    (training gradients must stay exact vs the flax model)."""
+    from video_layout_generation_tpu.models.fast_gridnet import (
+        make_packed_gridnet_apply)
+
+    h = w = 16
+    model = GridNet(n_channels=10, filters_level=(4, 6, 8))
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, h, w, 10)))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, h, w, 10)).astype(np.float32))
+
+    for packing in ("1x2", "2x2"):
+        ref_seg, _ = make_packed_gridnet_apply(
+            dtype=None, packing=packing)(params, x)
+        monkeypatch.setenv("VLG_ROLLOUT_UP", "nearest")
+        env_seg, _ = make_packed_gridnet_apply(
+            dtype=None, packing=packing)(params, x)
+        monkeypatch.delenv("VLG_ROLLOUT_UP")
+        np.testing.assert_allclose(np.asarray(ref_seg),
+                                   np.asarray(env_seg), atol=0), packing
+        nn_seg, _ = make_packed_gridnet_apply(
+            dtype=None, packing=packing, upsample="nearest")(params, x)
+        assert not np.allclose(np.asarray(ref_seg), np.asarray(nn_seg)), \
+            packing

@@ -281,13 +281,21 @@ def _row0_packing(packing, default):
 
 def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
                               n_col: int = 6, coord_in: bool = False,
-                              packing: Optional[str] = None):
+                              packing: Optional[str] = None,
+                              upsample: str = "bilinear"):
     """Build ``apply(variables, x) -> (seg_logits, img)`` matching
-    ``GridNet.apply`` (coord_in=True for CoordGridNet's input stem)."""
+    ``GridNet.apply`` (coord_in=True for CoordGridNet's input stem).
+
+    ``upsample`` is an EXPLICIT parameter (no env override, unlike the
+    rollout factories): train/eval applies must stay on the exact bilinear
+    path; only rollout consumers may pass "nearest"."""
+    if upsample not in ("bilinear", "nearest"):
+        raise ValueError(f"upsample must be 'bilinear' or 'nearest', "
+                         f"got {upsample!r}")
     if _row0_packing(packing, "2x2") == "1x2":
         from . import fast_gridnet_w2
         return fast_gridnet_w2.make_packed_gridnet_apply(
-            dtype=dtype, n_col=n_col, coord_in=coord_in)
+            dtype=dtype, n_col=n_col, coord_in=coord_in, upsample=upsample)
 
     def apply(variables, x):
         P = variables["params"]
@@ -313,11 +321,11 @@ def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
                       + _lateral_std(C[f"lateral_2{i-1}"], x2))
             else:
                 x2 = _lateral_std(C[f"lateral_2{i-1}"], x2)
-                x1 = (_up_std(C[f"up_1{i}"], x2)
+                x1 = (_up_std(C[f"up_1{i}"], x2, upsample)
                       + _lateral_std(C[f"lateral_1{i-1}"], x1))
                 x0 = _lateral_packed(C[f"lateral_0{i-1}"], x0,
                                      residual=_up_to_packed(C[f"up_0{i}"],
-                                                            x1))
+                                                            x1, upsample))
 
         seg = unpack2x2(_lateral_packed(P["lateral_out_seg"], x0))
         img = unpack2x2(_lateral_packed(P["lateral_out_img"], x0))

@@ -144,9 +144,11 @@ def _grid_w2(P, xw, cw, n_col: int, up_mode: str = "bilinear"):
 
 
 def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
-                              n_col: int = 6, coord_in: bool = False):
+                              n_col: int = 6, coord_in: bool = False,
+                              upsample: str = "bilinear"):
     """Build ``apply(variables, x) -> (seg_logits, img)`` matching
-    ``GridNet.apply`` (coord_in=True for CoordGridNet's input stem)."""
+    ``GridNet.apply`` (coord_in=True for CoordGridNet's input stem).
+    ``upsample`` is explicit-only (see fast_gridnet.make_packed_gridnet_apply)."""
 
     def apply(variables, x):
         P = variables["params"]
@@ -156,7 +158,7 @@ def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
         if coord_in:
             cw = _coords_w2(x.shape[1], x.shape[2], dt)
             cw = jnp.broadcast_to(cw, (x.shape[0],) + cw.shape[1:])
-        segp, imgp = _grid_w2(P, xw, cw, n_col)
+        segp, imgp = _grid_w2(P, xw, cw, n_col, upsample)
         return (unpack1x2(segp).astype(jnp.float32),
                 unpack1x2(imgp).astype(jnp.float32))
 

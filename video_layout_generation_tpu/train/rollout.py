@@ -100,4 +100,7 @@ def make_rollout_fn(model_apply: Callable,
         # (T, N, ...) -> (N, T, ...)
         return (jnp.moveaxis(imgs, 0, 1), jnp.moveaxis(segs, 0, 1))
 
-    return jax.jit(rollout) if jit else rollout
+    # rollout_jit: tuned scoped-vmem budget, measured +1.9% on the b128
+    # edge-mode rollout (tools/bench_edge_rollout.py); plain jit on CPU
+    from ..models.fast_gridnet import rollout_jit
+    return rollout_jit(rollout) if jit else rollout

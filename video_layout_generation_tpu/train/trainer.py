@@ -167,10 +167,12 @@ class Trainer:
             rollout_apply = model_apply
             if fast_ok:
                 from ..models.fast_gridnet import make_packed_gridnet_apply
-                # rollout is forward-only -> the 1x2 scheme wins there
+                # rollout is forward-only -> the 1x2 scheme wins there;
+                # the rollout-only upsample knob applies here too (this
+                # apply is built solely for the rollout path)
                 rollout_apply = make_packed_gridnet_apply(
                     dtype=dtype, coord_in=(cfg.arch == "CoordGridNet"),
-                    packing="1x2")
+                    packing="1x2", upsample=cfg.rollout_upsample)
             self._rollout = make_rollout_fn(
                 rollout_apply, hned_apply, n_frames=cfg.rollout_frames,
                 use_edges=cfg.edge, edge_scale=cfg.rollout_edge_scale)
