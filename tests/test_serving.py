@@ -80,7 +80,10 @@ def test_predict_edge_mode(ckpt_path, tmp_path):
 
 
 def test_predict_quantize_transfer_close_to_exact(ckpt_path):
-    # uint8 transfer quantizes frames by at most 1/255 and layouts exactly
+    # uint8 transfer quantizes BOTH directions: seed frames upload at
+    # 1/255 (training's transfer_uint8 semantics; the network propagates
+    # that input perturbation) and output frames fetch at 1/255; layout
+    # ids are exact both ways
     kw = dict(arch="GridNet", n_frames=2, batch=2, image_hw=(32, 32),
               filters_level=(4, 6, 8), use_bf16=False)
     a = LayoutPredictor.from_checkpoint(ckpt_path, **kw)
@@ -92,5 +95,18 @@ def test_predict_quantize_transfer_close_to_exact(ckpt_path):
     seg1, seg2 = (rng.integers(0, 20, (2, 32, 32)) for _ in range(2))
     f0, l0 = a.predict(img1, img2, seg1, seg2)
     f1, l1 = b.predict(img1, img2, seg1, seg2)
-    assert np.abs(f0 - f1).max() <= (0.5 / 255 + 1e-6)
-    np.testing.assert_array_equal(l0, l1)
+    # output term bounded by 0.5/255; the input term is a ~1/255 seed
+    # perturbation through a 1-Lipschitz-ish small net — allow ~5x;
+    # layout argmax may flip on borderline pixels only
+    assert np.abs(f0 - f1).max() <= 0.01
+    assert (l0 != l1).mean() < 0.05
+
+    # exact-seed invariance: uint8-representable seeds round-trip the
+    # upload exactly, so only the output quantization term remains and
+    # layouts are bit-exact
+    img1q = (np.round(img1 * 255.0) / 255.0).astype(np.float32)
+    img2q = (np.round(img2 * 255.0) / 255.0).astype(np.float32)
+    f0q, l0q = a.predict(img1q, img2q, seg1, seg2)
+    f1q, l1q = b.predict(img1q, img2q, seg1, seg2)
+    assert np.abs(f0q - f1q).max() <= (0.5 / 255 + 1e-6)
+    np.testing.assert_array_equal(l0q, l1q)

@@ -34,15 +34,15 @@ def _prelu(x, alpha):
     return jnp.where(x >= 0, x, a * x)
 
 
-def rollout_jit(fn):
+def rollout_jit(fn, **jit_kw):
     """jit with the rollout's tuned TPU compile options: a 96MB scoped-vmem
     budget measured +1.4% over the 16MB default on the full b128 rollout
     (larger conv fusions; tools/xla_flag_sweep.py). CPU and other backends
     get a plain jit (the TPU option would be rejected)."""
     if jax.default_backend() in ("tpu", "axon"):
-        return jax.jit(fn, compiler_options={
+        jit_kw = dict(jit_kw, compiler_options={
             "xla_tpu_scoped_vmem_limit_kib": "98304"})
-    return jax.jit(fn)
+    return jax.jit(fn, **jit_kw)
 
 
 def _conv_std(x, w, b, stride=1):

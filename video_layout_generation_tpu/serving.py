@@ -22,7 +22,7 @@ import numpy as np
 
 from .io.checkpoint import CheckpointManager
 from .models import get_model_cls
-from .models.fast_gridnet import make_packed_rollout_fn
+from .models.fast_gridnet import make_packed_rollout_fn, rollout_jit
 from .train.assemble import denormalize_image, normalize_image
 from .train.rollout import make_rollout_fn
 
@@ -56,13 +56,46 @@ class LayoutPredictor:
                                         dtype=dtype)
             ro = make_rollout_fn(model.apply, hned.apply,
                                  n_frames=n_frames, use_edges=True,
-                                 edge_scale=edge_scale)
-            self._rollout = lambda p, a, b, c, d: ro(p, hned_params,
-                                                     a, b, c, d)
+                                 edge_scale=edge_scale, jit=False)
+            rollout = lambda p, a, b, c, d: ro(p, hned_params, a, b, c, d)
         else:
             ro = make_packed_rollout_fn(n_frames=n_frames, dtype=dtype,
-                                        coord_in=coord, upsample=upsample)
-            self._rollout = lambda p, a, b, c, d: ro(p, a, b, c, d)
+                                        coord_in=coord, upsample=upsample,
+                                        jit=False)
+            rollout = ro
+        self._rollout = rollout_jit(rollout)  # kept for direct callers
+
+        # Whole request as ONE compiled program with ONE packed input
+        # upload and ONE packed output fetch: on remote/tunneled devices
+        # each host<->device array op is a serial round-trip, and the
+        # previous 4-upload/2-fetch predict() spent ~6 RTTs per request
+        # (measured ~300-400 ms at ~40 ms tunnel RTT vs ~15 ms of device
+        # compute). ``n`` (the unpadded request size) is static, so each
+        # distinct request batch compiles once.
+        # quantize both directions: the upload carries frames at 1/255
+        # (training's transfer_uint8 semantics; layout ids exact) and the
+        # fetch returns uint8 frames+ids — 4x less tunnel traffic each way.
+        # n_classes > 256 would wrap ids in uint8 -> full-precision both ways.
+        quantize = quantize_transfer and n_classes <= 256
+
+        def serve(p, x, n):
+            if quantize:
+                x = x.astype(jnp.float32)
+                x = jnp.concatenate([x[..., 0:6] / 255.0, x[..., 6:8]], -1)
+            i1 = normalize_image(x[..., 0:3])
+            i2 = normalize_image(x[..., 3:6])
+            s1, s2 = x[..., 6:7], x[..., 7:8]
+            imgs, segs = rollout(p, i1, i2, s1, s2)
+            f = jnp.clip(denormalize_image(imgs[:n]), 0.0, 1.0)
+            l = segs[:n]
+            if quantize:
+                return jnp.concatenate(
+                    [(f * 255.0 + 0.5).astype(jnp.uint8),
+                     l.astype(jnp.uint8)], axis=-1)
+            return jnp.concatenate([f, l.astype(jnp.float32)], axis=-1)
+
+        self._quantized_serve = quantize
+        self._serve = rollout_jit(serve, static_argnums=(2,))
 
     @classmethod
     def from_checkpoint(cls, path: str, arch: str = "GridNet",
@@ -76,7 +109,12 @@ class LayoutPredictor:
                 seg1: np.ndarray, seg2: np.ndarray
                 ) -> Tuple[np.ndarray, np.ndarray]:
         """img*: (N, H, W, 3) RGB in [0,1]; seg*: (N, H, W) int class ids.
-        Returns (frames (N, T, H, W, 3) in [0,1], layouts (N, T, H, W))."""
+        Returns (frames (N, T, H, W, 3) in [0,1], layouts (N, T, H, W)).
+
+        One packed upload -> one compiled program -> one packed fetch
+        (padding sliced off device-side before the transfer): per-request
+        host<->device round-trips, which dominate small-batch latency on
+        tunneled/remote devices, are the structural minimum."""
         n = img1.shape[0]
         if n > self.batch:
             raise ValueError(f"request batch {n} > compiled batch "
@@ -85,29 +123,23 @@ class LayoutPredictor:
         def pad(x):
             if x.shape[0] == self.batch:
                 return x
-            reps = np.concatenate(
+            return np.concatenate(
                 [x, np.repeat(x[-1:], self.batch - x.shape[0], axis=0)])
-            return reps
 
-        i1 = normalize_image(jnp.asarray(pad(np.asarray(img1, np.float32))))
-        i2 = normalize_image(jnp.asarray(pad(np.asarray(img2, np.float32))))
-        s1 = jnp.asarray(pad(np.asarray(seg1, np.float32)))[..., None]
-        s2 = jnp.asarray(pad(np.asarray(seg2, np.float32)))[..., None]
-        imgs, segs = self._rollout(self.params, i1, i2, s1, s2)
-        # slice the padding off DEVICE-side before fetching: on a tunneled
-        # device the host transfer dominates small-batch latency (measured
-        # 7.1 s for the padded batch-16 fetch vs 1.5 s for batch 1)
-        fdev = jnp.clip(denormalize_image(imgs[:n]), 0.0, 1.0)
-        ldev = segs[:n, ..., 0]
-        if self.quantize_transfer:
-            frames = np.asarray((fdev * 255.0 + 0.5).astype(jnp.uint8),
-                                np.float32) / 255.0
-            if self.n_classes <= 256:
-                layouts = np.asarray(ldev.astype(jnp.uint8)).astype(np.int32)
-            else:
-                # ids >= 256 would wrap in uint8 — keep the layout fetch exact
-                layouts = np.asarray(ldev).astype(np.int32)
+        x = np.concatenate(
+            [pad(np.asarray(img1, np.float32)),
+             pad(np.asarray(img2, np.float32)),
+             pad(np.asarray(seg1, np.float32))[..., None],
+             pad(np.asarray(seg2, np.float32))[..., None]], axis=-1)
+        if self._quantized_serve:
+            x = np.concatenate(
+                [x[..., 0:6] * 255.0 + 0.5, x[..., 6:8]],
+                axis=-1).astype(np.uint8)
+        out = np.asarray(self._serve(self.params, jnp.asarray(x), n))
+        if self._quantized_serve:
+            frames = out[..., :3].astype(np.float32) / 255.0
+            layouts = out[..., 3].astype(np.int32)
         else:
-            frames = np.asarray(fdev)
-            layouts = np.asarray(ldev).astype(np.int32)
+            frames = out[..., :3]
+            layouts = out[..., 3].astype(np.int32)
         return frames, layouts
