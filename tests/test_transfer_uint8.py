@@ -74,12 +74,32 @@ def test_train_step_on_uint8_matches_float32():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
-def test_host_loader_emits_uint8():
+def test_host_loader_emits_packed_uint8():
+    """transfer_uint8 loaders fuse the 6-field triplet batch into ONE
+    (B,H,W,12) uint8 array (one host->device round-trip instead of six —
+    data/pipeline.py:pack_triplet_batch); decode_batch unpacks it to the
+    standard schema."""
     ds = SyntheticTriplets(8, (16, 16), 20)
     loader = HostLoader(ds, 4, shuffle=False, workers=1, transfer_uint8=True)
     batch = next(iter(loader))
-    assert all(v.dtype == np.uint8 for v in batch.values())
+    assert set(batch) == {"packed6"}
+    assert batch["packed6"].dtype == np.uint8
+    assert batch["packed6"].shape == (4, 16, 16, 12)
+    dec = decode_batch({k: jnp.asarray(v) for k, v in batch.items()})
     # id channels are exact vs the raw dataset
     raw = ds[0]
-    np.testing.assert_array_equal(batch["seg3"][0],
-                                  raw["seg3"].astype(np.uint8))
+    np.testing.assert_array_equal(np.asarray(dec["seg3"][0]),
+                                  raw["seg3"].astype(np.int32))
+    assert dec["seg3"].dtype == jnp.int32
+    img0 = raw["img1"]
+    if img0.dtype == np.uint8:
+        img0 = img0.astype(np.float32) / 255.0
+    np.testing.assert_allclose(np.asarray(dec["img1"][0]), img0,
+                               atol=0.5 / 255)
+
+
+def test_pack_passes_through_other_schemas():
+    from video_layout_generation_tpu.data.pipeline import pack_triplet_batch
+    other = {"seg_in": np.zeros((2, 4, 4, 1), np.uint8),
+             "seg_out": np.zeros((2, 4, 4), np.uint8)}
+    assert pack_triplet_batch(dict(other)).keys() == other.keys()

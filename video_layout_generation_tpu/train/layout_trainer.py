@@ -125,9 +125,11 @@ class LayoutTrainer:
         return ctx, batch["seg3"].astype(jnp.int32)
 
     def train_epoch(self) -> Dict[str, float]:
+        from .steps import decode_batch
         self.train_loader.set_epoch(self.epoch)
         metrics = {}
         for batch in self.train_loader:
+            batch = decode_batch(batch)  # unpack packed6 / uint8 transfer
             self.global_step += 1
             rng = jax.random.fold_in(jax.random.key(self.cfg.seed),
                                      self.global_step)
@@ -152,8 +154,10 @@ class LayoutTrainer:
         return out
 
     def validate(self) -> Dict[str, float]:
+        from .steps import decode_batch
         cm_total = None
         for i, batch in enumerate(self.val_loader):
+            batch = decode_batch(batch)  # unpack packed6 / uint8 transfer
             pred = self._predict(self.state.params, batch,
                                  jax.random.fold_in(
                                      jax.random.key(self.cfg.seed + 1), i))

@@ -52,6 +52,13 @@ def decode_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     Cityscapes): frames become float32 in [0,1], layout ids become float32
     model channels / int32 targets. float32 batches pass through unchanged
     (dtype checks resolve at trace time)."""
+    if "packed6" in batch:
+        # single fused uint8 upload (data/pipeline.py:pack_triplet_batch);
+        # the slices fuse into the consumers for free
+        p = batch["packed6"]
+        batch = {"img1": p[..., 0:3], "img2": p[..., 3:6],
+                 "img3": p[..., 6:9], "seg1": p[..., 9:10],
+                 "seg2": p[..., 10:11], "seg3": p[..., 11]}
     out = dict(batch)
     for k in ("img1", "img2", "img3"):
         if k in out and out[k].dtype == jnp.uint8:

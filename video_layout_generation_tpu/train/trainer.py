@@ -358,7 +358,8 @@ class Trainer:
         for i, batch in enumerate(self.val_loader):
             metrics, seg_ids, img_n = self._eval_step(
                 self.model_params, self.hned_params, batch)
-            bs = batch["img1"].shape[0]  # global: arrays span all processes
+            # global batch size: arrays span all processes (packed or dict)
+            bs = next(iter(batch.values())).shape[0]
             n_total += bs
             contrib = metrics["loss"] * bs
             loss_sum = contrib if loss_sum is None else loss_sum + contrib
