@@ -204,3 +204,33 @@ def test_apply_upsample_explicit_only(monkeypatch):
             dtype=None, packing=packing, upsample="nearest")(params, x)
         assert not np.allclose(np.asarray(ref_seg), np.asarray(nn_seg)), \
             packing
+
+
+def test_rollout_packing_auto_dispatch():
+    """Default rollout packing is 'auto': per-call batch dispatch to the
+    measured-fastest scheme (2x2 for b8-b64, 1x2 otherwise). Outputs must
+    equal the explicit scheme fns exactly (fp32)."""
+    from video_layout_generation_tpu.models.fast_gridnet import (
+        make_packed_rollout_fn)
+
+    h = w = 16
+    model = GridNet(n_channels=8, filters_level=(4, 6, 8))
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, h, w, 8)))
+    rng = np.random.default_rng(7)
+    ro_auto = make_packed_rollout_fn(n_frames=2, dtype=None)
+    for b, scheme in ((4, "1x2"), (8, "2x2")):
+        img1 = jnp.asarray(
+            rng.standard_normal((b, h, w, 3)).astype(np.float32))
+        img2 = jnp.asarray(
+            rng.standard_normal((b, h, w, 3)).astype(np.float32))
+        seg1 = jnp.asarray(
+            rng.integers(0, 20, (b, h, w, 1)).astype(np.float32))
+        seg2 = jnp.asarray(
+            rng.integers(0, 20, (b, h, w, 1)).astype(np.float32))
+        ro_ref = make_packed_rollout_fn(n_frames=2, dtype=None,
+                                        packing=scheme)
+        ia, sa = ro_auto(params, img1, img2, seg1, seg2)
+        ir, sr = ro_ref(params, img1, img2, seg1, seg2)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ir)), b
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sr)), b

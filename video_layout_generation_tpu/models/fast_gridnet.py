@@ -265,17 +265,24 @@ def _coord_lateral_packed(p, xp, cp):
 
 def _row0_packing(packing, default):
     """Which space-to-depth scheme runs row 0. Measured on v5e: "1x2"
-    (width-only, free reshape) wins the forward-only rollout 939 vs 822
-    fps at b128, but the TRAINING step is faster with "2x2" (135.5 vs
-    153.4 ms/step at b16 — the 1x2 conv's VJP is slower) — so the rollout
-    entry defaults to "1x2" and the apply entry (train/eval) to "2x2".
-    Precedence: VLG_ROW0_PACK env (user override, wins everywhere) >
-    per-call ``packing`` (code-level choice) > the entry default."""
+    (width-only, free reshape) wins the forward-only rollout at large
+    batch (924 vs 812 fps at b128) and ties at b<=4, while "2x2" wins the
+    mid-batch rollout (b8-b64 by 17-28% — BENCH_NOTES batch sweep) and the
+    TRAINING step (135.5 vs 153.4 ms/step at b16 — the 1x2 conv's VJP is
+    slower). The rollout entry defaults to "auto" (per-call batch
+    dispatch); the apply entry (train/eval) to "2x2". Precedence:
+    VLG_ROW0_PACK env (user override, wins everywhere) > per-call
+    ``packing`` (code-level choice) > the entry default."""
     import os
-    chosen = os.environ.get("VLG_ROW0_PACK") or packing or default
-    if chosen not in ("1x2", "2x2"):
-        raise ValueError(
-            f"VLG_ROW0_PACK/packing must be '1x2' or '2x2', got {chosen!r}")
+    env = os.environ.get("VLG_ROW0_PACK")
+    if env == "auto":
+        # "auto" IS the rollout default; treating it as a forced value
+        # would recurse through the dispatcher's explicit inner choices
+        env = None
+    chosen = env or packing or default
+    if chosen not in ("1x2", "2x2", "auto"):
+        raise ValueError(f"VLG_ROW0_PACK/packing must be '1x2', '2x2' or "
+                         f"'auto', got {chosen!r}")
     return chosen
 
 
@@ -348,7 +355,23 @@ def make_packed_rollout_fn(n_frames: int = 8,
     Returns rollout(variables, img1, img2, seg1, seg2) ->
       imgs (N, T, H, W, 3) normalized, segs (N, T, H, W, 1) float ids.
     """
-    if _row0_packing(packing, "1x2") == "1x2":
+    chosen = _row0_packing(packing, "auto")
+    if chosen == "auto":
+        # batch-adaptive scheme dispatch (measured v5e crossover: 2x2 wins
+        # b8-b64, 1x2 wins b>=128 and ties b<=4 — BENCH_NOTES batch
+        # sweep). Each inner fn jits lazily, so only the used scheme
+        # compiles.
+        kw = dict(n_frames=n_frames, dtype=dtype, coord_in=coord_in,
+                  n_col=n_col, jit=jit, upsample=upsample)
+        ro_w2 = make_packed_rollout_fn(packing="1x2", **kw)
+        ro_22 = make_packed_rollout_fn(packing="2x2", **kw)
+
+        def rollout_auto(variables, img1, img2, seg1, seg2):
+            ro = ro_22 if 8 <= img1.shape[0] <= 64 else ro_w2
+            return ro(variables, img1, img2, seg1, seg2)
+
+        return rollout_auto
+    if chosen == "1x2":
         from . import fast_gridnet_w2
         return fast_gridnet_w2.make_packed_rollout_fn(
             n_frames=n_frames, dtype=dtype, coord_in=coord_in, n_col=n_col,
