@@ -234,3 +234,30 @@ def test_rollout_packing_auto_dispatch():
         ir, sr = ro_ref(params, img1, img2, seg1, seg2)
         np.testing.assert_array_equal(np.asarray(ia), np.asarray(ir)), b
         np.testing.assert_array_equal(np.asarray(sa), np.asarray(sr)), b
+
+
+def test_rollout_scan_unroll_exact():
+    """The scan-unroll knob is a pure scheduling change: unrolled rollouts
+    must equal the unroll=1 program exactly (fp32) for both packings."""
+    from video_layout_generation_tpu.models.fast_gridnet import (
+        make_packed_rollout_fn)
+
+    h = w = 16
+    b = 2
+    model = GridNet(n_channels=8, filters_level=(4, 6, 8))
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, h, w, 8)))
+    rng = np.random.default_rng(11)
+    img1 = jnp.asarray(rng.standard_normal((b, h, w, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.standard_normal((b, h, w, 3)).astype(np.float32))
+    seg1 = jnp.asarray(rng.integers(0, 20, (b, h, w, 1)).astype(np.float32))
+    seg2 = jnp.asarray(rng.integers(0, 20, (b, h, w, 1)).astype(np.float32))
+    for packing in ("1x2", "2x2"):
+        ro1 = make_packed_rollout_fn(n_frames=4, dtype=None,
+                                     packing=packing)
+        ro4 = make_packed_rollout_fn(n_frames=4, dtype=None,
+                                     packing=packing, unroll=4)
+        i1, s1 = ro1(params, img1, img2, seg1, seg2)
+        i4, s4 = ro4(params, img1, img2, seg1, seg2)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s4))

@@ -110,3 +110,31 @@ def test_predict_quantize_transfer_close_to_exact(ckpt_path):
     f1q, l1q = b.predict(img1q, img2q, seg1, seg2)
     assert np.abs(f0q - f1q).max() <= (0.5 / 255 + 1e-6)
     np.testing.assert_array_equal(l0q, l1q)
+
+
+def test_predict_pipelined_matches_predict(ckpt_path):
+    """predict_pipelined runs the same compiled program with overlapped
+    scheduling — results must be bit-identical to per-request predict(),
+    in request order, for any pipeline depth."""
+    pred = LayoutPredictor.from_checkpoint(
+        ckpt_path, arch="GridNet", n_frames=2, batch=4,
+        image_hw=(32, 32), filters_level=(4, 6, 8), use_bf16=False)
+    rng = np.random.default_rng(3)
+    reqs = []
+    for i in range(5):
+        n = 4 if i % 2 == 0 else 2      # mixed request sizes
+        img1 = rng.random((n, 32, 32, 3)).astype(np.float32)
+        img2 = rng.random((n, 32, 32, 3)).astype(np.float32)
+        seg1 = rng.integers(0, 20, (n, 32, 32))
+        seg2 = rng.integers(0, 20, (n, 32, 32))
+        reqs.append((img1, img2, seg1, seg2))
+    want = [pred.predict(*r) for r in reqs]
+    for depth in (1, 2, 3):
+        got = list(pred.predict_pipelined(iter(reqs), depth=depth))
+        assert len(got) == len(want)
+        for (gf, gl), (wf, wl) in zip(got, want):
+            np.testing.assert_array_equal(gf, wf)
+            np.testing.assert_array_equal(gl, wl)
+
+    with pytest.raises(ValueError):
+        list(pred.predict_pipelined(iter(reqs), depth=0))

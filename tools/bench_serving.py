@@ -53,6 +53,25 @@ def main():
             print(f"{up} batch={batch}: {ms:.1f} ms/request "
                   f"({8 * 1000 / ms:.0f} fps single-stream)", flush=True)
 
+    # sequential vs pipelined multi-request throughput (same program; the
+    # pipeline overlaps request i's fetch with i+1's upload+compute, which
+    # is the whole cost on a tunneled device). Same-process back-to-back
+    # A/B to control for tunnel weather.
+    p = LayoutPredictor("GridNet", params, n_frames=8, batch=1,
+                        quantize_transfer=True)
+    p.predict(img, img, seg, seg)  # compile
+    reqs = [(img, img, seg, seg)] * 8
+    for mode in ("sequential", "pipelined", "sequential2", "pipelined2"):
+        t0 = time.perf_counter()
+        if mode.startswith("sequential"):
+            out = [p.predict(*r) for r in reqs]
+        else:
+            out = list(p.predict_pipelined(iter(reqs), depth=3))
+        dt = time.perf_counter() - t0
+        assert len(out) == len(reqs)
+        print(f"{mode}: {len(reqs)} requests in {dt*1000:.0f} ms "
+              f"({dt*1000/len(reqs):.1f} ms/req)", flush=True)
+
 
 if __name__ == "__main__":
     main()

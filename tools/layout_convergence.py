@@ -1,0 +1,73 @@
+"""Multi-epoch convergence for the layout-only families (VAE/CVAE/ConvLSTM).
+
+The layout families (models/vae.py, models/convlstm.py + train/layout_trainer)
+cover BASELINE.json configs 1-3 — layout prediction without the RGB stream.
+Round-1/2 evidence for them was 1-epoch hardware smokes; this drives each
+family for N epochs on the synthetic moving-layout dataset and prints the
+per-epoch val mIoU / pixel-accuracy table, the same convergence record the
+flagship Trainer has (BENCH_NOTES.md).
+
+  python tools/layout_convergence.py [--families cvae convlstm vae]
+                                     [--epochs 12] [--size 128] [--bs 16]
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--families", nargs="+",
+                   default=["cvae", "convlstm", "vae"])
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--bs", type=int, default=16)
+    p.add_argument("--train_size", type=int, default=256)
+    p.add_argument("--val_size", type=int, default=64)
+    p.add_argument("--path", default="/tmp/vlg_layout_convergence")
+    args = p.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from video_layout_generation_tpu.config import Config
+    from video_layout_generation_tpu.train.layout_trainer import LayoutTrainer
+
+    results = {}
+    for family in args.families:
+        cfg = Config(dataset="synthetic",
+                     synthetic_train_size=args.train_size,
+                     synthetic_val_size=args.val_size,
+                     image_size=(args.size, args.size),
+                     batch_size=args.bs, epochs=args.epochs,
+                     compute_dtype="bfloat16", workers=4,
+                     path=_os.path.join(args.path, family),
+                     mesh_shape=(1,))
+        t = LayoutTrainer(cfg, family=family)
+        rows = []
+        t0 = time.time()
+        for epoch in range(args.epochs):
+            tr = t.train_epoch()
+            val = t.validate()
+            rows.append({"epoch": epoch + 1,
+                         **{k: round(float(v), 4) for k, v in tr.items()},
+                         "miou": round(float(val["miou"]), 4),
+                         "pixel_acc": round(float(val["pixel_acc"]), 4)})
+            print(json.dumps({"family": family, **rows[-1]}), flush=True)
+        results[family] = {"rows": rows,
+                           "wall_s": round(time.time() - t0, 1)}
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

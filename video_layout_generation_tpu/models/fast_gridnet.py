@@ -345,7 +345,8 @@ def make_packed_rollout_fn(n_frames: int = 8,
                            dtype: Optional[Dtype] = jnp.bfloat16,
                            coord_in: bool = False, n_col: int = 6,
                            jit: bool = True, packing: Optional[str] = None,
-                           upsample: Optional[str] = None):
+                           upsample: Optional[str] = None,
+                           unroll: int = 1):
     """Fully-packed autoregressive rollout (8-channel contract,
     train/rollout.py semantics): the feedback loop — argmax layout, output
     normalization, next-input assembly — stays in packed space, so the scan
@@ -362,7 +363,7 @@ def make_packed_rollout_fn(n_frames: int = 8,
         # sweep). Each inner fn jits lazily, so only the used scheme
         # compiles.
         kw = dict(n_frames=n_frames, dtype=dtype, coord_in=coord_in,
-                  n_col=n_col, jit=jit, upsample=upsample)
+                  n_col=n_col, jit=jit, upsample=upsample, unroll=unroll)
         ro_w2 = make_packed_rollout_fn(packing="1x2", **kw)
         ro_22 = make_packed_rollout_fn(packing="2x2", **kw)
 
@@ -375,7 +376,7 @@ def make_packed_rollout_fn(n_frames: int = 8,
         from . import fast_gridnet_w2
         return fast_gridnet_w2.make_packed_rollout_fn(
             n_frames=n_frames, dtype=dtype, coord_in=coord_in, n_col=n_col,
-            jit=jit, upsample=upsample)
+            jit=jit, upsample=upsample, unroll=unroll)
     from ..train.assemble import OUT_MEAN, OUT_STD
 
     up_mode = _up_mode(upsample)
@@ -444,7 +445,7 @@ def make_packed_rollout_fn(n_frames: int = 8,
 
         carry0 = (to_p(img1), to_p(img2), to_p(seg1), to_p(seg2))
         _, (imgs_p, segs_p) = jax.lax.scan(step, carry0, None,
-                                           length=n_frames)
+                                           length=n_frames, unroll=unroll)
         # (T, N, hh, ww, pc) -> unpack -> (N, T, H, W, c)
         t = imgs_p.shape[0]
         imgs = unpack2x2(imgs_p.reshape((t * n,) + imgs_p.shape[2:]))

@@ -169,11 +169,16 @@ def make_packed_rollout_fn(n_frames: int = 8,
                            dtype: Optional[Dtype] = jnp.bfloat16,
                            coord_in: bool = False, n_col: int = 6,
                            jit: bool = True,
-                           upsample: Optional[str] = None):
+                           upsample: Optional[str] = None,
+                           unroll: int = 1):
     """Fully width-packed autoregressive rollout (8-channel contract,
     train/rollout.py semantics): argmax layout feedback, output affine,
     and next-input assembly all stay in packed space; seeds pack once
     (a free reshape), results unpack once (free).
+
+    ``unroll`` is forwarded to ``lax.scan`` (experiment knob: unrolling
+    lets XLA fuse a step's argmax/affine epilogue into the next step's
+    input assembly at the cost of an ~unroll-times-larger program).
 
     Returns rollout(variables, img1, img2, seg1, seg2) ->
       imgs (N, T, H, W, 3) normalized, segs (N, T, H, W, 1) float ids.
@@ -215,7 +220,7 @@ def make_packed_rollout_fn(n_frames: int = 8,
 
         carry0 = (to_p(img1), to_p(img2), to_p(seg1), to_p(seg2))
         _, (imgs_p, segs_p) = jax.lax.scan(step, carry0, None,
-                                           length=n_frames)
+                                           length=n_frames, unroll=unroll)
         t = imgs_p.shape[0]
         imgs = unpack1x2(imgs_p.reshape((t * n,) + imgs_p.shape[2:]))
         segs = unpack1x2(segs_p.reshape((t * n,) + segs_p.shape[2:]))

@@ -105,16 +105,8 @@ class LayoutPredictor:
             arch = tree["arch"]
         return cls(arch, tree["params"], **kw)
 
-    def predict(self, img1: np.ndarray, img2: np.ndarray,
-                seg1: np.ndarray, seg2: np.ndarray
-                ) -> Tuple[np.ndarray, np.ndarray]:
-        """img*: (N, H, W, 3) RGB in [0,1]; seg*: (N, H, W) int class ids.
-        Returns (frames (N, T, H, W, 3) in [0,1], layouts (N, T, H, W)).
-
-        One packed upload -> one compiled program -> one packed fetch
-        (padding sliced off device-side before the transfer): per-request
-        host<->device round-trips, which dominate small-batch latency on
-        tunneled/remote devices, are the structural minimum."""
+    def _pack_request(self, img1, img2, seg1, seg2):
+        """Host-side packing of one request into the single upload array."""
         n = img1.shape[0]
         if n > self.batch:
             raise ValueError(f"request batch {n} > compiled batch "
@@ -135,11 +127,54 @@ class LayoutPredictor:
             x = np.concatenate(
                 [x[..., 0:6] * 255.0 + 0.5, x[..., 6:8]],
                 axis=-1).astype(np.uint8)
-        out = np.asarray(self._serve(self.params, jnp.asarray(x), n))
+        return x, n
+
+    def _decode_out(self, out: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side decode of the single fetched array."""
         if self._quantized_serve:
             frames = out[..., :3].astype(np.float32) / 255.0
-            layouts = out[..., 3].astype(np.int32)
         else:
             frames = out[..., :3]
-            layouts = out[..., 3].astype(np.int32)
-        return frames, layouts
+        return frames, out[..., 3].astype(np.int32)
+
+    def predict(self, img1: np.ndarray, img2: np.ndarray,
+                seg1: np.ndarray, seg2: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """img*: (N, H, W, 3) RGB in [0,1]; seg*: (N, H, W) int class ids.
+        Returns (frames (N, T, H, W, 3) in [0,1], layouts (N, T, H, W)).
+
+        One packed upload -> one compiled program -> one packed fetch
+        (padding sliced off device-side before the transfer): per-request
+        host<->device round-trips, which dominate small-batch latency on
+        tunneled/remote devices, are the structural minimum."""
+        x, n = self._pack_request(img1, img2, seg1, seg2)
+        out = np.asarray(self._serve(self.params, jnp.asarray(x), n))
+        return self._decode_out(out)
+
+    def predict_pipelined(self, requests, depth: int = 2):
+        """Pipelined multi-request inference; yields one (frames, layouts)
+        per request, in order.
+
+        JAX dispatch is asynchronous, so keeping ``depth`` requests in
+        flight overlaps request i's device->host fetch (the blocking
+        ``np.asarray``) with request i+1's upload and compute. On
+        remote/tunneled devices, where per-request latency is almost
+        entirely transfer + round-trips (BENCH_NOTES.md "Serving request
+        path"), steady-state throughput approaches the bandwidth limit
+        instead of serializing RTT -> compute -> RTT per request.
+
+        ``requests``: iterable of (img1, img2, seg1, seg2) tuples with the
+        ``predict`` contract. Results are bit-identical to per-request
+        ``predict`` calls (same compiled program; scheduling only).
+        """
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        from collections import deque
+        inflight = deque()
+        for req in requests:
+            x, n = self._pack_request(*req)
+            inflight.append(self._serve(self.params, jnp.asarray(x), n))
+            if len(inflight) > depth:
+                yield self._decode_out(np.asarray(inflight.popleft()))
+        while inflight:
+            yield self._decode_out(np.asarray(inflight.popleft()))
