@@ -138,3 +138,31 @@ def test_predict_pipelined_matches_predict(ckpt_path):
 
     with pytest.raises(ValueError):
         list(pred.predict_pipelined(iter(reqs), depth=0))
+
+
+def test_predict_mesh_sharded_matches_single_device(ckpt_path):
+    """Serving on a data mesh (batch sharded, params replicated — the
+    reference's DataParallel-eval counterpart, src/val.py:130-131) must
+    produce the single-device results exactly (fp32)."""
+    import jax
+
+    from video_layout_generation_tpu.parallel.mesh import make_mesh
+
+    kw = dict(arch="GridNet", n_frames=2, batch=8, image_hw=(32, 32),
+              filters_level=(4, 6, 8), use_bf16=False)
+    single = LayoutPredictor.from_checkpoint(ckpt_path, **kw)
+    meshed = LayoutPredictor.from_checkpoint(
+        ckpt_path, mesh=make_mesh(jax.devices()[:4]), **kw)
+    rng = np.random.default_rng(5)
+    img1 = rng.random((6, 32, 32, 3)).astype(np.float32)   # n=6 < batch=8
+    img2 = rng.random((6, 32, 32, 3)).astype(np.float32)
+    seg1 = rng.integers(0, 20, (6, 32, 32))
+    seg2 = rng.integers(0, 20, (6, 32, 32))
+    wf, wl = single.predict(img1, img2, seg1, seg2)
+    gf, gl = meshed.predict(img1, img2, seg1, seg2)
+    np.testing.assert_array_equal(gf, wf)
+    np.testing.assert_array_equal(gl, wl)
+
+    with pytest.raises(ValueError):   # batch not divisible by mesh size
+        LayoutPredictor.from_checkpoint(
+            ckpt_path, mesh=make_mesh(jax.devices()[:3]), **kw)

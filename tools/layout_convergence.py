@@ -34,9 +34,15 @@ def main(argv=None):
     p.add_argument("--train_size", type=int, default=256)
     p.add_argument("--val_size", type=int, default=64)
     p.add_argument("--path", default="/tmp/vlg_layout_convergence")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU platform (the session env pins the "
+                        "tunneled TPU; env JAX_PLATFORMS alone is not "
+                        "honored here)")
     args = p.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from video_layout_generation_tpu.config import Config

@@ -33,10 +33,24 @@ class LayoutPredictor:
                  filters_level=(32, 64, 96), use_bf16: bool = True,
                  hned=None, hned_params=None, use_edges: bool = False,
                  edge_scale: int = 1, quantize_transfer: bool = False,
-                 n_classes: int = 20, upsample: str = "bilinear"):
+                 n_classes: int = 20, upsample: str = "bilinear",
+                 mesh=None):
         if arch not in ("GridNet", "CoordGridNet"):
             raise ValueError(f"serving supports GridNet archs, got {arch}")
         self.arch = arch
+        # multi-device serving: shard the request batch over the mesh's
+        # 'data' axis with replicated params — the serving counterpart of
+        # the reference's optional nn.DataParallel eval (src/val.py:130-131)
+        self.mesh = mesh
+        if mesh is not None:
+            if batch % mesh.size != 0:
+                raise ValueError(f"compiled batch {batch} must be divisible "
+                                 f"by the mesh size {mesh.size}")
+            from .parallel.mesh import replicated_sharding
+            rep = replicated_sharding(mesh)
+            params = jax.device_put(params, rep)
+            if hned_params is not None:
+                hned_params = jax.device_put(hned_params, rep)
         self.params = params
         self.n_frames = n_frames
         self.batch = batch
@@ -129,6 +143,14 @@ class LayoutPredictor:
                 axis=-1).astype(np.uint8)
         return x, n
 
+    def _put(self, x: np.ndarray):
+        """Upload one packed request, batch-sharded when serving on a
+        mesh."""
+        if self.mesh is not None:
+            from .parallel.mesh import batch_sharding
+            return jax.device_put(x, batch_sharding(self.mesh))
+        return jnp.asarray(x)
+
     def _decode_out(self, out: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Host-side decode of the single fetched array."""
         if self._quantized_serve:
@@ -148,7 +170,7 @@ class LayoutPredictor:
         host<->device round-trips, which dominate small-batch latency on
         tunneled/remote devices, are the structural minimum."""
         x, n = self._pack_request(img1, img2, seg1, seg2)
-        out = np.asarray(self._serve(self.params, jnp.asarray(x), n))
+        out = np.asarray(self._serve(self.params, self._put(x), n))
         return self._decode_out(out)
 
     def predict_pipelined(self, requests, depth: int = 2):
@@ -173,7 +195,7 @@ class LayoutPredictor:
         inflight = deque()
         for req in requests:
             x, n = self._pack_request(*req)
-            inflight.append(self._serve(self.params, jnp.asarray(x), n))
+            inflight.append(self._serve(self.params, self._put(x), n))
             if len(inflight) > depth:
                 yield self._decode_out(np.asarray(inflight.popleft()))
         while inflight:
