@@ -52,6 +52,10 @@ def parse_args(argv=None):
     p.add_argument("--n_samples", type=int, default=8,
                    help="synthetic sample count")
     p.add_argument("--embedding_dim", type=int, default=15)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each eval batch over all devices (the "
+                        "reference's optional nn.DataParallel, "
+                        "src/val.py:130-131)")
     return p.parse_args(argv)
 
 
@@ -113,6 +117,17 @@ def main(argv=None):
     apply_fn = jax.jit(lambda p, m, s, i: jnp.argmax(
         model.apply(p, m, s, i), axis=-1))
 
+    put = jnp.asarray
+    if args.data_parallel:
+        from .parallel.mesh import (batch_sharding, make_mesh,
+                                    replicated_sharding)
+        mesh = make_mesh()
+        if args.batch_size % mesh.size != 0:
+            raise SystemExit(f"batch size {args.batch_size} must be "
+                             f"divisible by the device count {mesh.size}")
+        params = jax.device_put(params, replicated_sharding(mesh))
+        put = lambda x: jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+
     save_folder = os.path.join(args.save_dir,
                                f"{args.model}_eval_{args.size}")
     os.makedirs(save_folder, exist_ok=True)
@@ -127,8 +142,8 @@ def main(argv=None):
     for step in range(n // args.batch_size):
         sl = slice(step * args.batch_size, (step + 1) * args.batch_size)
         tic = time.time()
-        pred = apply_fn(params, jnp.asarray(masks[sl]),
-                        jnp.asarray(segs[sl]), jnp.asarray(imgs[sl]))
+        pred = apply_fn(params, put(masks[sl]),
+                        put(segs[sl]), put(imgs[sl]))
         pred_np = np.asarray(pred)
         eval_time = time.time() - tic
 
