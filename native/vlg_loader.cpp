@@ -119,29 +119,64 @@ bool decode_png(const char* path, Image& img, bool expand_palette = true) {
   std::vector<uint8_t> raw((stride + 1) * img.h);
   if (!inflate_all(idat, raw)) return false;
 
-  // unfilter into pixels
+  // unfilter into pixels. The filter switch is hoisted out of the byte
+  // loop and the first bpp bytes (no left neighbor) are peeled, so each
+  // filter runs as a tight branch-free loop the compiler can vectorize
+  // (None/Up are pure memcpy/add; Sub/Avg/Paeth carry the serial left
+  // dependency but lose the per-byte bounds tests).
   std::vector<uint8_t> out(stride * img.h);
-  const int bpp = ch;
+  const size_t bpp = ch;
   for (int y = 0; y < img.h; ++y) {
     const uint8_t* src = &raw[(stride + 1) * y];
     uint8_t filter = src[0];
     ++src;
     uint8_t* dst = &out[stride * y];
     const uint8_t* up = y ? &out[stride * (y - 1)] : nullptr;
-    for (size_t x = 0; x < stride; ++x) {
-      int a = x >= static_cast<size_t>(bpp) ? dst[x - bpp] : 0;
-      int b = up ? up[x] : 0;
-      int c = (up && x >= static_cast<size_t>(bpp)) ? up[x - bpp] : 0;
-      int v = src[x];
-      switch (filter) {
-        case 0: break;
-        case 1: v += a; break;
-        case 2: v += b; break;
-        case 3: v += (a + b) / 2; break;
-        case 4: v += paeth(a, b, c); break;
-        default: return false;
-      }
-      dst[x] = static_cast<uint8_t>(v);
+    switch (filter) {
+      case 0:
+        std::memcpy(dst, src, stride);
+        break;
+      case 1:  // Sub
+        std::memcpy(dst, src, bpp < stride ? bpp : stride);
+        for (size_t x = bpp; x < stride; ++x)
+          dst[x] = static_cast<uint8_t>(src[x] + dst[x - bpp]);
+        break;
+      case 2:  // Up
+        if (up) {
+          for (size_t x = 0; x < stride; ++x)
+            dst[x] = static_cast<uint8_t>(src[x] + up[x]);
+        } else {
+          std::memcpy(dst, src, stride);
+        }
+        break;
+      case 3:  // Average
+        if (up) {
+          for (size_t x = 0; x < bpp && x < stride; ++x)
+            dst[x] = static_cast<uint8_t>(src[x] + up[x] / 2);
+          for (size_t x = bpp; x < stride; ++x)
+            dst[x] = static_cast<uint8_t>(src[x] +
+                                          (dst[x - bpp] + up[x]) / 2);
+        } else {
+          std::memcpy(dst, src, bpp < stride ? bpp : stride);
+          for (size_t x = bpp; x < stride; ++x)
+            dst[x] = static_cast<uint8_t>(src[x] + dst[x - bpp] / 2);
+        }
+        break;
+      case 4:  // Paeth
+        if (up) {
+          for (size_t x = 0; x < bpp && x < stride; ++x)
+            dst[x] = static_cast<uint8_t>(src[x] + up[x]);  // paeth(0,b,0)=b
+          for (size_t x = bpp; x < stride; ++x)
+            dst[x] = static_cast<uint8_t>(
+                src[x] + paeth(dst[x - bpp], up[x], up[x - bpp]));
+        } else {
+          std::memcpy(dst, src, bpp < stride ? bpp : stride);
+          for (size_t x = bpp; x < stride; ++x)  // paeth(a,0,0)=a
+            dst[x] = static_cast<uint8_t>(src[x] + dst[x - bpp]);
+        }
+        break;
+      default:
+        return false;
     }
   }
 
@@ -166,28 +201,70 @@ bool decode_png(const char* path, Image& img, bool expand_palette = true) {
 // ------------------------------------------------------------- resize ----
 
 // Floor-nearest (cv2 INTER_NEAREST semantics) on the first channel only,
-// emitting int32 class ids.
+// emitting int32 class ids. Column source indices are precomputed once.
 void resize_nearest_ids(const Image& img, int32_t* out, int oh, int ow) {
+  const int ch = img.channels;
+  if (oh == img.h && ow == img.w && ch == 1) {  // identity: pure widen
+    const size_t n = static_cast<size_t>(oh) * ow;
+    for (size_t i = 0; i < n; ++i) out[i] = img.pixels[i];
+    return;
+  }
   const double sy = static_cast<double>(img.h) / oh;
   const double sx = static_cast<double>(img.w) / ow;
+  std::vector<int> xoff(ow);
+  for (int x = 0; x < ow; ++x)
+    xoff[x] = std::min(static_cast<int>(x * sx), img.w - 1) * ch;
   for (int y = 0; y < oh; ++y) {
     int src_y = std::min(static_cast<int>(y * sy), img.h - 1);
     const uint8_t* row =
-        &img.pixels[static_cast<size_t>(src_y) * img.w * img.channels];
-    for (int x = 0; x < ow; ++x) {
-      int src_x = std::min(static_cast<int>(x * sx), img.w - 1);
-      out[static_cast<size_t>(y) * ow + x] =
-          static_cast<int32_t>(row[src_x * img.channels]);
-    }
+        &img.pixels[static_cast<size_t>(src_y) * img.w * ch];
+    int32_t* o = &out[static_cast<size_t>(y) * ow];
+    for (int x = 0; x < ow; ++x) o[x] = row[xoff[x]];
   }
 }
 
 // Half-pixel bilinear (cv2 INTER_LINEAR semantics) to float [0,1] RGB HWC.
+// The x-axis sample positions/weights are precomputed once per call (they
+// were previously recomputed in double for every pixel of every row), and
+// the identity size gets a pure uint8->float conversion fast path — the
+// production Cityscapes artifacts are pre-sized on disk, so that path is
+// the common one (SURVEY.md §3.4).
 void resize_bilinear_rgb(const Image& img, float* out, int oh, int ow) {
   const int ch = img.channels;
+  const float inv255 = 1.0f / 255.0f;
+  if (oh == img.h && ow == img.w) {  // identity: convert only
+    const size_t n = static_cast<size_t>(oh) * ow;
+    if (ch == 3) {
+      const uint8_t* p = img.pixels.data();
+      for (size_t i = 0; i < n * 3; ++i) out[i] = p[i] * inv255;
+    } else {
+      for (size_t i = 0; i < n; ++i) {
+        // <3 channels means gray(+alpha): replicate the gray channel,
+        // never the alpha; 4 channels drops alpha
+        const uint8_t* p = &img.pixels[i * ch];
+        float r = p[0] * inv255;
+        float g = (ch >= 3 ? p[1] : p[0]) * inv255;
+        float b = (ch >= 3 ? p[2] : p[0]) * inv255;
+        out[i * 3] = r;
+        out[i * 3 + 1] = g;
+        out[i * 3 + 2] = b;
+      }
+    }
+    return;
+  }
   const double sy = static_cast<double>(img.h) / oh;
   const double sx = static_cast<double>(img.w) / ow;
-  const float inv255 = 1.0f / 255.0f;
+  std::vector<int> x0s(ow), x1s(ow);
+  std::vector<float> wxs(ow);
+  for (int x = 0; x < ow; ++x) {
+    double fx = (x + 0.5) * sx - 0.5;
+    if (fx < 0) fx = 0;
+    if (fx > img.w - 1) fx = img.w - 1;
+    int x0 = static_cast<int>(fx);
+    x0s[x] = x0 * ch;
+    x1s[x] = std::min(x0 + 1, img.w - 1) * ch;
+    wxs[x] = static_cast<float>(fx - x0);
+  }
   for (int y = 0; y < oh; ++y) {
     double fy = (y + 0.5) * sy - 0.5;
     if (fy < 0) fy = 0;
@@ -197,20 +274,15 @@ void resize_bilinear_rgb(const Image& img, float* out, int oh, int ow) {
     float wy = static_cast<float>(fy - y0);
     const uint8_t* r0 = &img.pixels[static_cast<size_t>(y0) * img.w * ch];
     const uint8_t* r1 = &img.pixels[static_cast<size_t>(y1) * img.w * ch];
+    float* orow = &out[static_cast<size_t>(y) * ow * 3];
     for (int x = 0; x < ow; ++x) {
-      double fx = (x + 0.5) * sx - 0.5;
-      if (fx < 0) fx = 0;
-      if (fx > img.w - 1) fx = img.w - 1;
-      int x0 = static_cast<int>(fx);
-      int x1 = std::min(x0 + 1, img.w - 1);
-      float wx = static_cast<float>(fx - x0);
-      float* o = &out[(static_cast<size_t>(y) * ow + x) * 3];
+      const int x0 = x0s[x], x1 = x1s[x];
+      const float wx = wxs[x];
+      float* o = &orow[x * 3];
       for (int c = 0; c < 3; ++c) {
-        // <3 channels means gray(+alpha): replicate the gray channel,
-        // never the alpha
         int cc = (ch >= 3) ? c : 0;
-        float v00 = r0[x0 * ch + cc], v01 = r0[x1 * ch + cc];
-        float v10 = r1[x0 * ch + cc], v11 = r1[x1 * ch + cc];
+        float v00 = r0[x0 + cc], v01 = r0[x1 + cc];
+        float v10 = r1[x0 + cc], v11 = r1[x1 + cc];
         float top = v00 + (v01 - v00) * wx;
         float bot = v10 + (v11 - v10) * wx;
         o[c] = (top + (bot - top) * wy) * inv255;
