@@ -34,6 +34,12 @@ def main(argv=None):
     p.add_argument("--train_size", type=int, default=256)
     p.add_argument("--val_size", type=int, default=64)
     p.add_argument("--path", default="/tmp/vlg_layout_convergence")
+    p.add_argument("--lr", type=float, default=1e-3,
+                   help="these small layout models train on few steps; the "
+                        "flagship default 2e-4 plateaus at the majority "
+                        "class within short runs")
+    p.add_argument("--latent", type=int, default=32)
+    p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (the session env pins the "
                         "tunneled TPU; env JAX_PLATFORMS alone is not "
@@ -54,11 +60,12 @@ def main(argv=None):
                      synthetic_train_size=args.train_size,
                      synthetic_val_size=args.val_size,
                      image_size=(args.size, args.size),
-                     batch_size=args.bs, epochs=args.epochs,
+                     batch_size=args.bs, epochs=args.epochs, lr=args.lr,
                      compute_dtype="bfloat16", workers=4,
                      path=_os.path.join(args.path, family),
                      mesh_shape=(1,))
-        t = LayoutTrainer(cfg, family=family)
+        t = LayoutTrainer(cfg, family=family,
+                          latent_dim=args.latent, hidden=args.hidden)
         rows = []
         t0 = time.time()
         for epoch in range(args.epochs):

@@ -67,6 +67,23 @@ class ConvDecoder(nn.Module):
         return x.astype(jnp.float32)
 
 
+class ConvTrunk(nn.Module):
+    """Stride-2 conv feature trunk to 1/8 resolution (full receptive
+    coverage of the input — every context pixel reaches the features)."""
+    widths: Sequence[int] = (32, 64, 64)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype
+        x = x.astype(dt) if dt is not None else x
+        for wdt in self.widths:
+            x = nn.Conv(wdt, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), dtype=dt)(x)
+            x = nn.relu(x)
+        return x
+
+
 def reparameterize(rng, mu, logvar):
     std = jnp.exp(0.5 * logvar)
     return mu + std * jax.random.normal(rng, mu.shape, mu.dtype)
@@ -112,12 +129,16 @@ class LayoutCVAE(nn.Module):
         self.prior = ConvEncoder(self.latent_dim, dtype=self.dtype,
                                  name="prior")
         self.decoder = ConvDecoder(self.n_classes, dtype=self.dtype)
-        self.ctx_proj = nn.Conv(64, (3, 3), strides=(8, 8),
-                                padding=((1, 1), (1, 1)), dtype=self.dtype,
-                                name="ctx_proj")
+        # full-coverage context trunk. The original single stride-8 conv
+        # sampled only a 3x3 window of every 8x8 block, so most context
+        # pixels never reached the decoder — generation could not track
+        # motion and collapsed to the majority class (BENCH_NOTES.md
+        # layout-family convergence).
+        self.ctx_proj = ConvTrunk((32, 64, 64), dtype=self.dtype,
+                                  name="ctx_proj")
 
     def _ctx_feat(self, context):
-        return nn.relu(self.ctx_proj(context))
+        return self.ctx_proj(context)
 
     def __call__(self, context, target, rng):
         """context: (N,H,W,C_ctx) one-hot stack; target: (N,H,W,n_classes)."""
