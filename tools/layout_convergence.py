@@ -40,6 +40,11 @@ def main(argv=None):
                         "class within short runs")
     p.add_argument("--latent", type=int, default=32)
     p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--beta_max", type=float, default=0.05,
+                   help="KL weight ceiling. At 1.0 these small decoders hit "
+                        "full posterior collapse (kl -> 0, constant "
+                        "majority-class output) on the synthetic scenes")
+    p.add_argument("--kl_warmup", type=int, default=500)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (the session env pins the "
                         "tunneled TPU; env JAX_PLATFORMS alone is not "
@@ -65,7 +70,9 @@ def main(argv=None):
                      path=_os.path.join(args.path, family),
                      mesh_shape=(1,))
         t = LayoutTrainer(cfg, family=family,
-                          latent_dim=args.latent, hidden=args.hidden)
+                          latent_dim=args.latent, hidden=args.hidden,
+                          kl_warmup_steps=args.kl_warmup,
+                          beta_max=args.beta_max)
         rows = []
         t0 = time.time()
         for epoch in range(args.epochs):
