@@ -43,8 +43,15 @@ class ConvEncoder(nn.Module):
             x = nn.relu(x)
         mu = nn.Conv(self.latent_dim, (3, 3), padding=((1, 1), (1, 1)),
                      dtype=dt, name="mu")(x).astype(jnp.float32)
+        # start the posterior tight (std ~= exp(-2.5) ~= 0.08): with the
+        # default std ~= 1, z is noise-dominated from step 0, the decoder
+        # learns to ignore it, and the VAE settles into full posterior
+        # collapse (constant majority-class output) regardless of beta —
+        # observed on the synthetic layout runs (BENCH_NOTES.md)
         logvar = nn.Conv(self.latent_dim, (3, 3), padding=((1, 1), (1, 1)),
-                         dtype=dt, name="logvar")(x).astype(jnp.float32)
+                         dtype=dt, name="logvar",
+                         bias_init=nn.initializers.constant(-5.0)
+                         )(x).astype(jnp.float32)
         return mu, logvar
 
 
@@ -68,6 +75,12 @@ class ConvDecoder(nn.Module):
         for wdt in self.widths:
             x = nn.ConvTranspose(wdt, (3, 3), strides=(2, 2),
                                  padding="SAME", dtype=dt)(x)
+            x = nn.relu(x)
+            # refine after each upsample: a bare transposed-conv stack
+            # cannot sharpen class boundaries from the 1/8-res latent
+            # (measured: VAE reconstruction stuck at the majority class
+            # even with an informative posterior; BENCH_NOTES.md)
+            x = nn.Conv(wdt, (3, 3), padding=((1, 1), (1, 1)), dtype=dt)(x)
             x = nn.relu(x)
         if skip is not None:
             s = skip.astype(x.dtype) if dt is not None else skip
