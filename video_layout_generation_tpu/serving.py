@@ -187,16 +187,21 @@ class LayoutPredictor:
 
         ``requests``: iterable of (img1, img2, seg1, seg2) tuples with the
         ``predict`` contract. Results are bit-identical to per-request
-        ``predict`` calls (same compiled program; scheduling only).
+        ``predict`` calls (same compiled program; scheduling only). At most
+        ``depth`` requests are outstanding on the device at a time (each
+        buffered output is O(batch * n_frames * H * W)).
         """
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
+        return self._predict_pipelined(requests, depth)
+
+    def _predict_pipelined(self, requests, depth: int):
         from collections import deque
         inflight = deque()
         for req in requests:
+            if len(inflight) >= depth:
+                yield self._decode_out(np.asarray(inflight.popleft()))
             x, n = self._pack_request(*req)
             inflight.append(self._serve(self.params, self._put(x), n))
-            if len(inflight) > depth:
-                yield self._decode_out(np.asarray(inflight.popleft()))
         while inflight:
             yield self._decode_out(np.asarray(inflight.popleft()))

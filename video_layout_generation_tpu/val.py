@@ -126,7 +126,11 @@ def main(argv=None):
             raise SystemExit(f"batch size {args.batch_size} must be "
                              f"divisible by the device count {mesh.size}")
         params = jax.device_put(params, replicated_sharding(mesh))
-        put = lambda x: jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+        # device_put the host array with the sharding directly: going
+        # through jnp.asarray first would stage the full batch on device 0
+        # and reshard, doubling the upload
+        sh = batch_sharding(mesh)
+        put = lambda x: jax.device_put(x, sh)
 
     save_folder = os.path.join(args.save_dir,
                                f"{args.model}_eval_{args.size}")
