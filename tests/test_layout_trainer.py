@@ -20,3 +20,33 @@ def test_layout_trainer_families(family, tmp_path):
     assert 0.0 <= m["miou"] <= 1.0
     assert 0.0 <= m["pixel_acc"] <= 1.0
     assert t.global_step == 2
+
+
+def test_layout_rollout_fidelity_families():
+    """evaluate_layout_rollout scores cvae (prior-sample scan) and convlstm
+    (argmax feedback) rollouts against GT futures with per-step metrics."""
+    import numpy as np
+
+    from video_layout_generation_tpu.data.synthetic import SyntheticTriplets
+    from video_layout_generation_tpu.evaluation import evaluate_layout_rollout
+
+    ds = SyntheticTriplets(size=4, image_hw=(16, 16), seed=3)
+    for family in ("cvae", "convlstm"):
+        cfg = Config(dataset="synthetic", synthetic_train_size=4,
+                     synthetic_val_size=4, image_size=(16, 16), batch_size=4,
+                     epochs=1, compute_dtype="float32", workers=1,
+                     path=None, mesh_shape=(1,))
+        t = LayoutTrainer(cfg, family=family, latent_dim=8, hidden=8)
+        fid = evaluate_layout_rollout(t, ds, range(4), n_frames=3)
+        assert fid["per_step_miou"].shape == (3,)
+        assert np.all(fid["per_step_miou"] >= 0)
+        assert np.all(fid["per_step_pixel_acc"] <= 1)
+
+    cfg = Config(dataset="synthetic", synthetic_train_size=4,
+                 synthetic_val_size=4, image_size=(16, 16), batch_size=4,
+                 epochs=1, compute_dtype="float32", workers=1,
+                 path=None, mesh_shape=(1,))
+    t = LayoutTrainer(cfg, family="vae", latent_dim=8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        evaluate_layout_rollout(t, ds, range(4), n_frames=3)

@@ -85,6 +85,21 @@ def main(argv=None):
             print(json.dumps({"family": family, **rows[-1]}), flush=True)
         results[family] = {"rows": rows,
                            "wall_s": round(time.time() - t0, 1)}
+        if family in ("cvae", "convlstm"):
+            # autoregressive rollout fidelity vs GT futures (8 steps),
+            # the layout-family counterpart of the flagship metric
+            from video_layout_generation_tpu.data.synthetic import (
+                SyntheticTriplets)
+            from video_layout_generation_tpu.evaluation import (
+                evaluate_layout_rollout)
+            ds = SyntheticTriplets(size=16, image_hw=cfg.image_size,
+                                   seed=cfg.seed + 7)
+            fid = evaluate_layout_rollout(t, ds, range(16), n_frames=8)
+            results[family]["rollout_per_step_miou"] = [
+                round(float(v), 4) for v in fid["per_step_miou"]]
+            print(json.dumps({"family": family, "rollout_fidelity":
+                              results[family]["rollout_per_step_miou"]}),
+                  flush=True)
 
     print(json.dumps(results))
 

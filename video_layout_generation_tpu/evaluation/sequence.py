@@ -74,3 +74,42 @@ def evaluate_trainer_rollout(trainer, dataset, indices: Sequence[int],
                                              save=False)
     return rollout_fidelity(pred_segs, np.stack(gts),
                             trainer.cfg.n_classes)
+
+
+def evaluate_layout_rollout(trainer, dataset, indices: Sequence[int],
+                            n_frames: int) -> Dict[str, np.ndarray]:
+    """Rollout fidelity for the layout-only families: continue each
+    family's autoregressive generator from a sample's first two GT layouts
+    and score per-step mIoU / pixel accuracy against the GT futures
+    (LayoutTrainer counterpart of ``evaluate_trainer_rollout``; cvae
+    samples its learned prior per step, convlstm feeds argmax back)."""
+    import jax
+
+    segs1, segs2, gts = [], [], []
+    for i in indices:
+        _, segs = dataset.sequence(int(i), n_frames + 2)
+        if segs.shape[0] < n_frames + 2:
+            raise ValueError(
+                f"dataset.sequence returned {segs.shape[0]} frames; "
+                f"need {n_frames + 2} (2 seeds + {n_frames} futures)")
+        segs1.append(segs[0])
+        segs2.append(segs[1])
+        gts.append(segs[2:])
+    s1 = jnp.asarray(np.stack(segs1), jnp.int32)
+    s2 = jnp.asarray(np.stack(segs2), jnp.int32)
+    n_cls = trainer.cfg.n_classes
+    if trainer.family == "cvae":
+        from ..models.vae import make_cvae_rollout
+        ro = make_cvae_rollout(trainer.model, n_frames, n_cls)
+        pred = ro(trainer.state.params, s1, s2,
+                  jax.random.key(trainer.cfg.seed + 2))
+    elif trainer.family == "convlstm":
+        from ..models.convlstm import ConvLSTMLayoutPredictor
+        ctx = jax.nn.one_hot(jnp.stack([s1, s2], axis=1), n_cls)
+        pred = trainer.model.apply(trainer.state.params, ctx, n_frames,
+                                   method=ConvLSTMLayoutPredictor.rollout)
+    else:
+        raise ValueError(
+            f"rollout fidelity needs an autoregressive family "
+            f"(cvae/convlstm), got {trainer.family!r}")
+    return rollout_fidelity(pred, np.stack(gts), n_cls)
