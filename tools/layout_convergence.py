@@ -85,6 +85,9 @@ def main(argv=None):
             print(json.dumps({"family": family, **rows[-1]}), flush=True)
         results[family] = {"rows": rows,
                            "wall_s": round(time.time() - t0, 1)}
+        if t.ckpt is not None:
+            t.ckpt.save(t.epoch, t.state.params, t.state.opt_state,
+                        t.global_step, f"layout_{family}")
         if family in ("cvae", "convlstm"):
             # autoregressive rollout fidelity vs GT futures (8 steps),
             # the layout-family counterpart of the flagship metric
