@@ -166,3 +166,29 @@ def test_predict_mesh_sharded_matches_single_device(ckpt_path):
     with pytest.raises(ValueError):   # batch not divisible by mesh size
         LayoutPredictor.from_checkpoint(
             ckpt_path, mesh=make_mesh(jax.devices()[:3]), **kw)
+
+
+def test_predict_pipelined_on_mesh(ckpt_path):
+    """Pipelining composes with mesh-sharded serving (depth-bounded
+    in-flight requests, batch sharded over the mesh): results must equal
+    single-device per-request predict exactly."""
+    import jax
+
+    from video_layout_generation_tpu.parallel.mesh import make_mesh
+
+    kw = dict(arch="GridNet", n_frames=2, batch=4, image_hw=(32, 32),
+              filters_level=(4, 6, 8), use_bf16=False)
+    single = LayoutPredictor.from_checkpoint(ckpt_path, **kw)
+    meshed = LayoutPredictor.from_checkpoint(
+        ckpt_path, mesh=make_mesh(jax.devices()[:2]), **kw)
+    rng = np.random.default_rng(9)
+    reqs = []
+    for _ in range(3):
+        img = rng.random((4, 32, 32, 3)).astype(np.float32)
+        seg = rng.integers(0, 20, (4, 32, 32))
+        reqs.append((img, img, seg, seg))
+    want = [single.predict(*r) for r in reqs]
+    got = list(meshed.predict_pipelined(iter(reqs), depth=2))
+    for (gf, gl), (wf, wl) in zip(got, want):
+        np.testing.assert_array_equal(gf, wf)
+        np.testing.assert_array_equal(gl, wl)
