@@ -72,6 +72,14 @@ def main():
     _T_START = time.time()
     _arm_watchdog()
     import jax
+    # fast liveness gate: if the tunnel is dead, a trivial op hangs and the
+    # 2400s watchdog outlives the driver's budget — probe with a short
+    # dedicated deadline first so a dead device yields the error JSON line
+    # within ~2 min instead of a timeout kill
+    probe = _arm_watchdog(150)
+    import jax.numpy as _jnp
+    float(jax.jit(lambda x: (x * 2).sum())(_jnp.ones((8, 8))))
+    probe.cancel()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(_REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

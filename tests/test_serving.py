@@ -192,3 +192,25 @@ def test_predict_pipelined_on_mesh(ckpt_path):
     for (gf, gl), (wf, wl) in zip(got, want):
         np.testing.assert_array_equal(gf, wf)
         np.testing.assert_array_equal(gl, wl)
+
+
+def test_predict_many_chunks_oversized_requests(ckpt_path):
+    """predict_many splits an N > compiled-batch request into pipelined
+    chunks and reassembles; equal to concatenated per-chunk predicts."""
+    pred = LayoutPredictor.from_checkpoint(
+        ckpt_path, arch="GridNet", n_frames=2, batch=4,
+        image_hw=(32, 32), filters_level=(4, 6, 8), use_bf16=False)
+    rng = np.random.default_rng(13)
+    n = 10                                       # 4 + 4 + 2 chunks
+    img1 = rng.random((n, 32, 32, 3)).astype(np.float32)
+    img2 = rng.random((n, 32, 32, 3)).astype(np.float32)
+    seg1 = rng.integers(0, 20, (n, 32, 32))
+    seg2 = rng.integers(0, 20, (n, 32, 32))
+    gf, gl = pred.predict_many(img1, img2, seg1, seg2)
+    assert gf.shape == (n, 2, 32, 32, 3) and gl.shape == (n, 2, 32, 32)
+    for lo in (0, 4, 8):
+        hi = min(lo + 4, n)
+        wf, wl = pred.predict(img1[lo:hi], img2[lo:hi],
+                              seg1[lo:hi], seg2[lo:hi])
+        np.testing.assert_array_equal(gf[lo:hi], wf)
+        np.testing.assert_array_equal(gl[lo:hi], wl)

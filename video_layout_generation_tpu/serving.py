@@ -195,6 +195,23 @@ class LayoutPredictor:
             raise ValueError(f"depth must be >= 1, got {depth}")
         return self._predict_pipelined(requests, depth)
 
+    def predict_many(self, img1, img2, seg1, seg2, depth: int = 2
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Auto-batched inference for requests LARGER than the compiled
+        batch: splits (N, ...) inputs into compiled-batch chunks, pipelines
+        the chunks (``depth`` in flight), and reassembles (N, ...) outputs.
+        The single-compile / fixed-shape contract of ``predict`` is kept —
+        every chunk runs the same program."""
+        n = img1.shape[0]
+        b = self.batch
+        chunks = ((img1[i:i + b], img2[i:i + b],
+                   seg1[i:i + b], seg2[i:i + b])
+                  for i in range(0, n, b))
+        outs = list(self.predict_pipelined(chunks, depth=depth))
+        frames = np.concatenate([f for f, _ in outs])
+        layouts = np.concatenate([l for _, l in outs])
+        return frames, layouts
+
     def _predict_pipelined(self, requests, depth: int):
         from collections import deque
         inflight = deque()
