@@ -10,6 +10,7 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC vlg_loader.cpp -lz)
 
+#include <libdeflate.h>
 #include <zlib.h>
 
 #include <atomic>
@@ -47,7 +48,20 @@ inline int paeth(int a, int b, int c) {
 }
 
 bool inflate_all(const std::vector<uint8_t>& in, std::vector<uint8_t>& out) {
-  z_stream zs;
+  // libdeflate's one-shot zlib decompress is 2-3x zlib's streaming
+  // inflate and the PNG raw size is known exactly up front. One cached
+  // decompressor per pool thread.
+  static thread_local libdeflate_decompressor* dec =
+      libdeflate_alloc_decompressor();
+  if (dec != nullptr) {
+    size_t actual = 0;
+    libdeflate_result r = libdeflate_zlib_decompress(
+        dec, in.data(), in.size(), out.data(), out.size(), &actual);
+    // match the zlib-path acceptance: a short stream (STREAM_END early)
+    // and an over-long stream (output buffer filled) were both accepted
+    return r == LIBDEFLATE_SUCCESS || r == LIBDEFLATE_INSUFFICIENT_SPACE;
+  }
+  z_stream zs;  // allocation-failure fallback
   std::memset(&zs, 0, sizeof(zs));
   if (inflateInit(&zs) != Z_OK) return false;
   zs.next_in = const_cast<Bytef*>(in.data());
