@@ -305,6 +305,79 @@ void resize_bilinear_rgb(const Image& img, float* out, int oh, int ow) {
   }
 }
 
+// ------------------------------------------------------------- encode ----
+
+void put_be32(std::vector<uint8_t>& v, uint32_t x) {
+  v.push_back(uint8_t(x >> 24));
+  v.push_back(uint8_t(x >> 16));
+  v.push_back(uint8_t(x >> 8));
+  v.push_back(uint8_t(x));
+}
+
+void put_chunk(std::vector<uint8_t>& v, const char type[4],
+               const uint8_t* data, size_t len) {
+  put_be32(v, static_cast<uint32_t>(len));
+  size_t start = v.size();
+  v.insert(v.end(), type, type + 4);
+  if (len) v.insert(v.end(), data, data + len);
+  uint32_t crc = static_cast<uint32_t>(
+      crc32(0L, v.data() + start, static_cast<uInt>(4 + len)));
+  put_be32(v, crc);
+}
+
+// Encode 8-bit RGB (or gray, channels=1) rows to a PNG file. Filter 0
+// rows + libdeflate zlib compress — the writer for the colorized eval
+// export (reference src/val.py:172-187 saved per-image PNGs via cv2).
+bool encode_png(const char* path, const uint8_t* pix, int h, int w,
+                int channels, int level) {
+  const size_t stride = static_cast<size_t>(w) * channels;
+  std::vector<uint8_t> raw((stride + 1) * h);
+  for (int y = 0; y < h; ++y) {
+    uint8_t* dst = &raw[(stride + 1) * y];
+    dst[0] = 0;  // filter: None
+    std::memcpy(dst + 1, pix + stride * y, stride);
+  }
+  static thread_local libdeflate_compressor* comp = nullptr;
+  static thread_local int comp_level = -1;
+  if (comp == nullptr || comp_level != level) {
+    if (comp) libdeflate_free_compressor(comp);
+    comp = libdeflate_alloc_compressor(level);
+    comp_level = level;
+  }
+  if (comp == nullptr) return false;
+  std::vector<uint8_t> zdata(
+      libdeflate_zlib_compress_bound(comp, raw.size()));
+  size_t zlen = libdeflate_zlib_compress(comp, raw.data(), raw.size(),
+                                         zdata.data(), zdata.size());
+  if (zlen == 0) return false;
+
+  std::vector<uint8_t> out;
+  out.reserve(zlen + 128);
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  out.insert(out.end(), sig, sig + 8);
+  uint8_t ihdr[13];
+  ihdr[0] = uint8_t(uint32_t(w) >> 24);
+  ihdr[1] = uint8_t(uint32_t(w) >> 16);
+  ihdr[2] = uint8_t(uint32_t(w) >> 8);
+  ihdr[3] = uint8_t(w);
+  ihdr[4] = uint8_t(uint32_t(h) >> 24);
+  ihdr[5] = uint8_t(uint32_t(h) >> 16);
+  ihdr[6] = uint8_t(uint32_t(h) >> 8);
+  ihdr[7] = uint8_t(h);
+  ihdr[8] = 8;                                // bit depth
+  ihdr[9] = channels == 1 ? 0 : 2;            // gray | truecolor
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;         // deflate/adaptive/none
+  put_chunk(out, "IHDR", ihdr, 13);
+  put_chunk(out, "IDAT", zdata.data(), zlen);
+  put_chunk(out, "IEND", nullptr, 0);
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return false;
+  size_t n = std::fwrite(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  return n == out.size();
+}
+
 // -------------------------------------------------------- thread pool ----
 
 class ThreadPool {
@@ -371,6 +444,16 @@ int vlg_load_gray_ids(const char* path, int32_t* out, int out_h, int out_w) {
   if (!decode_png(path, img, /*expand_palette=*/false)) return 1;
   resize_nearest_ids(img, out, out_h, out_w);
   return 0;
+}
+
+// Save 8-bit pixels as PNG; channels 1 (gray) or 3 (RGB). level is the
+// deflate level (1 fastest .. 12 best; 6 is a good default). Returns 0 on
+// success.
+int vlg_save_png(const char* path, const uint8_t* pix, int h, int w,
+                 int channels, int level) {
+  if ((channels != 1 && channels != 3) || h <= 0 || w <= 0) return 1;
+  return encode_png(path, pix, h, w, channels,
+                    level > 0 ? level : 6) ? 0 : 1;
 }
 
 // Persistent pool ------------------------------------------------------

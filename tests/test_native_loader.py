@@ -79,3 +79,39 @@ def test_missing_file_raises(native):
         native.load_rgb("/nonexistent/x.png", (8, 8))
     with pytest.raises(IOError):
         native.load_rgb_batch(["/nonexistent/x.png"], (8, 8))
+
+
+def test_native_png_writer_roundtrip(tmp_path):
+    """save_png output must decode back bit-exactly (via PIL as the
+    independent reader) for RGB and gray."""
+    from PIL import Image
+
+    from video_layout_generation_tpu.io.native_loader import NativeImageLoader
+
+    ld = NativeImageLoader(n_threads=1)
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 255, (37, 53, 3)).astype(np.uint8)
+    p = str(tmp_path / "rt_rgb.png")
+    ld.save_png(p, rgb)
+    np.testing.assert_array_equal(np.asarray(Image.open(p).convert("RGB")),
+                                  rgb)
+    gray = rng.integers(0, 255, (41, 29)).astype(np.uint8)
+    p = str(tmp_path / "rt_gray.png")
+    ld.save_png(p, gray)
+    np.testing.assert_array_equal(np.asarray(Image.open(p)), gray)
+
+
+def test_colorized_export_uses_native_writer(tmp_path):
+    """save_colorized_png writes a PNG that decodes to the palette colors."""
+    from PIL import Image
+
+    from video_layout_generation_tpu.evaluation.export import (
+        save_colorized_png)
+    from video_layout_generation_tpu.ops.colorize import CITYSCAPES_COLORS
+
+    ids = np.arange(20, dtype=np.int32).reshape(4, 5)
+    p = str(tmp_path / "color.png")
+    save_colorized_png(p, ids)
+    got = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(
+        got, CITYSCAPES_COLORS[ids % len(CITYSCAPES_COLORS)])

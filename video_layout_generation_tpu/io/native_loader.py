@@ -52,6 +52,10 @@ class NativeImageLoader:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
         lib.vlg_pool_load_batch.restype = ctypes.c_int
+        lib.vlg_save_png.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int]
+        lib.vlg_save_png.restype = ctypes.c_int
         n = n_threads or (os.cpu_count() or 1)
         self._pool = lib.vlg_pool_create(n)
 
@@ -79,6 +83,17 @@ class NativeImageLoader:
         if rc:
             raise FileNotFoundError(path)
         return out
+
+    def save_png(self, path: str, pixels: np.ndarray, level: int = 6):
+        """Write (H, W, 3) RGB or (H, W) gray uint8 pixels as a PNG
+        (filter-0 rows + libdeflate; the colorized-export writer)."""
+        arr = np.ascontiguousarray(pixels, np.uint8)
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        rc = self._lib.vlg_save_png(
+            path.encode(), arr.ctypes.data_as(ctypes.c_void_p),
+            arr.shape[0], arr.shape[1], ch, level)
+        if rc:
+            raise IOError(f"PNG encode failed for {path}")
 
     # -- batched (thread-pool, GIL released) ---------------------------
     def load_rgb_batch(self, paths: Sequence[str],
