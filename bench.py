@@ -25,7 +25,7 @@ import time
 
 import numpy as np
 
-BATCH = 128
+BATCH = 256  # round-2 sweep: b256@1x2 958 fps > b128 940 (b512 OOMs, b192 tiles badly)
 N_FRAMES = 8
 HW = 256
 REPEATS = 3
