@@ -261,3 +261,39 @@ def test_rollout_scan_unroll_exact():
         i4, s4 = ro4(params, img1, img2, seg1, seg2)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s4))
+
+
+def test_edge_rollout_apply_batch_dispatch():
+    """make_edge_rollout_apply is batch-adaptive (2x2 for b32-b64, 1x2
+    otherwise — v5e edge-mode sweep). Both schemes are exact, so the
+    dispatching rollout must equal the explicit-scheme rollouts exactly
+    (fp32) on either side of the crossover."""
+    from video_layout_generation_tpu.models import HNED
+    from video_layout_generation_tpu.models.fast_gridnet import (
+        make_edge_rollout_apply, make_packed_gridnet_apply)
+
+    h = w = 16
+    model = GridNet(n_channels=10, filters_level=(4, 6, 8))
+    hned = HNED()
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, h, w, 10)))
+    hp = jax.jit(hned.init)(jax.random.key(1), jnp.zeros((1, h, w, 3)))
+    ro_auto = make_rollout_fn(make_edge_rollout_apply(dtype=None),
+                              hned.apply, n_frames=2, use_edges=True)
+    rng = np.random.default_rng(3)
+    for b, scheme in ((4, "1x2"), (32, "2x2")):
+        img1 = jnp.asarray(
+            rng.standard_normal((b, h, w, 3)).astype(np.float32))
+        img2 = jnp.asarray(
+            rng.standard_normal((b, h, w, 3)).astype(np.float32))
+        seg1 = jnp.asarray(
+            rng.integers(0, 20, (b, h, w, 1)).astype(np.float32))
+        seg2 = jnp.asarray(
+            rng.integers(0, 20, (b, h, w, 1)).astype(np.float32))
+        ro_ref = make_rollout_fn(
+            make_packed_gridnet_apply(dtype=None, packing=scheme),
+            hned.apply, n_frames=2, use_edges=True)
+        ia, sa = ro_auto(params, hp, img1, img2, seg1, seg2)
+        ir, sr = ro_ref(params, hp, img1, img2, seg1, seg2)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ir))
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sr))

@@ -10,7 +10,7 @@ from .blocks import (CoordConv, CoordDownSamplingBlock, CoordLateralBlock,
                      PReLU, UpSamplingBlock)
 from .discriminators import NLayerDiscriminator, PixelDiscriminator
 from .factories import define_D, define_G
-from .fast_gridnet import make_packed_gridnet_apply
+from .fast_gridnet import make_edge_rollout_apply, make_packed_gridnet_apply
 from .gridnet import CoordGridNet, GridNet
 from .hned import HNED, hned_fused_edge
 from .init import get_initializer
@@ -48,6 +48,7 @@ def get_model_cls(name: str):
 
 __all__ = list(_REGISTRY) + [
     "define_G", "define_D", "make_packed_gridnet_apply",
+    "make_edge_rollout_apply",
     "make_cvae_rollout", "ConvLSTMCell",
     "get_model_cls", "get_initializer", "get_norm_layer", "InstanceNorm",
     "hned_fused_edge", "PReLU", "LateralBlock", "DownSamplingBlock",

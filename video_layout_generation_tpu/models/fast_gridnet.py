@@ -341,6 +341,31 @@ def make_packed_gridnet_apply(dtype: Optional[Dtype] = jnp.bfloat16,
     return apply
 
 
+def make_edge_rollout_apply(dtype: Optional[Dtype] = jnp.bfloat16,
+                            n_col: int = 6, coord_in: bool = False,
+                            upsample: str = "bilinear"):
+    """Batch-adaptive packed apply for the EDGE-mode rollout (HNED edges
+    recomputed per generated frame, so the feedback loop can't stay in
+    packed space and the rollout drives a per-frame ``apply``).
+
+    v5e edge-mode batch sweep (256px, 8 frames — BENCH_NOTES round 2):
+    2x2 wins b32-b64 by 12-14% (444.5 vs 391.5 fps at b32, 462.7 vs 412.3
+    at b64), 1x2 wins b8 (332.0 vs 293.7) and b128 (710.7 vs 625.3), tie
+    at b16. Batch is static under jit, so the dispatch resolves at trace
+    time and only the used scheme compiles. VLG_ROW0_PACK still overrides
+    both inner choices (both branches then build the same scheme)."""
+    kw = dict(dtype=dtype, n_col=n_col, coord_in=coord_in,
+              upsample=upsample)
+    ap_w2 = make_packed_gridnet_apply(packing="1x2", **kw)
+    ap_22 = make_packed_gridnet_apply(packing="2x2", **kw)
+
+    def apply(variables, x):
+        ap = ap_22 if 32 <= x.shape[0] <= 64 else ap_w2
+        return ap(variables, x)
+
+    return apply
+
+
 def make_packed_rollout_fn(n_frames: int = 8,
                            dtype: Optional[Dtype] = jnp.bfloat16,
                            coord_in: bool = False, n_col: int = 6,

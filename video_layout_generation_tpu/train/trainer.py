@@ -166,13 +166,15 @@ class Trainer:
         else:
             rollout_apply = model_apply
             if fast_ok:
-                from ..models.fast_gridnet import make_packed_gridnet_apply
-                # rollout is forward-only -> the 1x2 scheme wins there;
-                # the rollout-only upsample knob applies here too (this
-                # apply is built solely for the rollout path)
-                rollout_apply = make_packed_gridnet_apply(
+                from ..models.fast_gridnet import make_edge_rollout_apply
+                # batch-adaptive row-0 scheme for the edge-mode rollout
+                # (see make_edge_rollout_apply: 2x2 wins b32-b64, 1x2
+                # elsewhere). The rollout-only upsample knob applies
+                # here too (this apply is built solely for the rollout
+                # path).
+                rollout_apply = make_edge_rollout_apply(
                     dtype=dtype, coord_in=(cfg.arch == "CoordGridNet"),
-                    packing="1x2", upsample=cfg.rollout_upsample)
+                    upsample=cfg.rollout_upsample)
             self._rollout = make_rollout_fn(
                 rollout_apply, hned_apply, n_frames=cfg.rollout_frames,
                 use_edges=cfg.edge, edge_scale=cfg.rollout_edge_scale)
