@@ -22,6 +22,30 @@ def test_layout_trainer_families(family, tmp_path):
     assert t.global_step == 2
 
 
+def test_layout_trainer_resume(tmp_path):
+    """Resume restores epoch/step/params and fit() runs only the
+    remaining epochs (parity with Trainer resume semantics)."""
+    import jax
+
+    cfg = Config(dataset="synthetic", synthetic_train_size=8,
+                 synthetic_val_size=4, image_size=(16, 16), n_classes=8,
+                 batch_size=4, epochs=2, compute_dtype="float32",
+                 workers=1, path=str(tmp_path), mesh_shape=(1,),
+                 rollout_frames=2, lr=1e-3)
+    t = LayoutTrainer(cfg, family="convlstm", hidden=8)
+    t.fit()
+    assert t.epoch == 2 and t.global_step == 4
+
+    t2 = LayoutTrainer(cfg.replace(epochs=3, resume="latest"),
+                       family="convlstm", hidden=8)
+    assert t2.epoch == 2 and t2.global_step == 4
+    for a, b in zip(jax.tree_util.tree_leaves(t.state.params),
+                    jax.tree_util.tree_leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.fit()
+    assert t2.epoch == 3 and t2.global_step == 6
+
+
 def test_layout_rollout_fidelity_families():
     """evaluate_layout_rollout scores cvae (prior-sample scan) and convlstm
     (argmax feedback) rollouts against GT futures with per-step metrics."""

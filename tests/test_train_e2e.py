@@ -57,6 +57,33 @@ def test_checkpoint_roundtrip(trainer, tiny_cfg):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_continues_at_saved_epoch(tiny_cfg, tmp_path_factory):
+    """fit() after --resume runs only the REMAINING epochs (the reference
+    restores start_epoch from the checkpoint, src/trainer.py resume path)."""
+    path = str(tmp_path_factory.mktemp("resume"))
+    cfg = tiny_cfg.replace(path=path, epochs=2)
+    t = Trainer(cfg)
+    t.fit()
+    assert t.epoch == 2
+    ckpts = sorted(os.listdir(os.path.join(path, "checkpoint")))
+    assert "002" in ckpts
+
+    # resume at epochs=3: exactly ONE more epoch must run
+    t2 = Trainer(cfg.replace(epochs=3, resume="latest"))
+    assert t2.epoch == 2
+    steps_before = t2.global_step
+    t2.fit()
+    assert t2.epoch == 3
+    assert t2.global_step == steps_before + 2  # 8 samples / batch 4
+
+    # resume with epochs already satisfied ("latest" is now 003): no-op
+    t3 = Trainer(cfg.replace(epochs=2, resume="latest"))
+    assert t3.epoch == 3
+    g3 = t3.global_step
+    t3.fit()
+    assert t3.epoch == 3 and t3.global_step == g3
+
+
 def test_rollout_shapes(trainer):
     n, (h, w) = 2, trainer.cfg.image_size
     img = jnp.zeros((n, h, w, 3))

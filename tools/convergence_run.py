@@ -35,6 +35,9 @@ def main(argv=None):
                    help="pretrained HNED artifact (tools/pretrain_hned.py)")
     p.add_argument("--vgg_weights", default=None,
                    help="pretrained VGG artifact (tools/pretrain_vgg.py)")
+    p.add_argument("--resume", default=None,
+                   help='checkpoint to resume from ("latest" for the '
+                        "newest in <path>/checkpoint)")
     args = p.parse_args(argv)
 
     import jax
@@ -49,7 +52,8 @@ def main(argv=None):
                  epochs=args.epochs, edge=args.edge, arch=args.arch,
                  compute_dtype="bfloat16", workers=4, print_freq=8,
                  path=args.path, mesh_shape=(1,), rollout_frames=8,
-                 hed_weights=args.hed_weights, vgg_weights=args.vgg_weights)
+                 hed_weights=args.hed_weights, vgg_weights=args.vgg_weights,
+                 resume=args.resume)
     t = Trainer(cfg)
     m = t.fit()
     out = {k: round(float(v), 4) for k, v in m.items()

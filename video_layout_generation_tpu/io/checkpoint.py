@@ -19,6 +19,34 @@ from typing import Any, Optional
 import orbax.checkpoint as ocp
 
 
+def reshape_like(template: Any, restored: Any) -> Any:
+    """Rebuild ``restored`` (orbax's dict/list representation) onto the
+    pytree structure of ``template``.
+
+    ``PyTreeCheckpointer.restore`` without an item template returns
+    namedtuples as field-name dicts and tuples as lists, which breaks
+    optax states (e.g. ``InjectStatefulHyperparamsState``) on resume.
+    Walking the live template restores the exact container types.
+    """
+    if template is None:
+        return None
+    # namedtuple (optax states): restored is a dict keyed by field name
+    if isinstance(template, tuple) and hasattr(template, "_fields"):
+        return type(template)(**{
+            f: reshape_like(getattr(template, f), restored[f])
+            for f in template._fields})
+    if isinstance(template, (tuple, list)):
+        if len(template) != len(restored):
+            raise ValueError(
+                f"checkpoint structure mismatch: {len(restored)} entries "
+                f"for a {len(template)}-element {type(template).__name__}")
+        return type(template)(
+            reshape_like(t, r) for t, r in zip(template, restored))
+    if isinstance(template, dict):
+        return {k: reshape_like(v, restored[k]) for k, v in template.items()}
+    return restored  # leaf
+
+
 class CheckpointManager:
     def __init__(self, directory: str):
         self.directory = os.path.abspath(directory)

@@ -18,7 +18,7 @@ import numpy as np
 from ..config import Config
 from ..data.pipeline import HostLoader, ShardedLoader
 from ..evaluation.metrics import confusion_matrix, summarize_confusion
-from ..io.checkpoint import CheckpointManager
+from ..io.checkpoint import CheckpointManager, reshape_like
 from ..io.logging import get_logger
 from ..models.convlstm import ConvLSTMLayoutPredictor
 from ..models.vae import LayoutCVAE, LayoutVAE, make_cvae_rollout
@@ -77,6 +77,8 @@ class LayoutTrainer:
         self.epoch = 0
         ckpt_dir = os.path.join(cfg.path, "checkpoint") if cfg.path else None
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+        if cfg.resume:
+            self.load_checkpoint(cfg.resume)
 
         if dataset_train is None:
             from ..data import get_dataset
@@ -170,9 +172,26 @@ class LayoutTrainer:
                 self.family, miou, acc))
         return {"miou": miou, "pixel_acc": acc, "per_class_iou": iou}
 
+    def load_checkpoint(self, resume: str):
+        """Full resume (epoch + params + opt state), mirroring
+        Trainer.load_checkpoint; accepts "latest" or an explicit path."""
+        if resume == "latest" and self.ckpt is not None:
+            resume = os.path.join(self.ckpt.directory, "latest")
+        tree = CheckpointManager.restore_path(
+            resume, arch=f"layout_{self.family}")
+        self.epoch = int(tree["epoch"])
+        self.global_step = int(tree.get("step", 0))
+        self.state = self.state.replace(
+            params=tree["params"],
+            opt_state=reshape_like(self.state.opt_state,
+                                   tree["opt_state"]))
+        self.logger.info("[layout/%s] resumed at epoch %d"
+                         % (self.family, self.epoch))
+
     def fit(self):
         metrics = {}
-        for _ in range(self.cfg.epochs):
+        # self.epoch counts completed epochs (restored on resume)
+        for _ in range(self.epoch, self.cfg.epochs):
             self.train_epoch()
             metrics = self.validate()
             if self.ckpt is not None and is_primary():

@@ -29,7 +29,7 @@ from ..config import Config
 from ..data.pipeline import HostLoader, ShardedLoader
 from ..evaluation.export import save_npy_stack
 from ..evaluation.metrics import summarize_confusion
-from ..io.checkpoint import CheckpointManager
+from ..io.checkpoint import CheckpointManager, reshape_like
 from ..io.logging import get_logger
 from ..io.tb import SummaryWriter
 from ..losses.combined import CombinedLoss
@@ -436,18 +436,24 @@ class Trainer:
         self.epoch = int(tree["epoch"])
         self.global_step = int(tree.get("step", 0))
         if self.cfg.gan_train:
-            gen = self.state.gen.replace(params=tree["params"],
-                                         opt_state=tree["opt_state"])
+            gen = self.state.gen.replace(
+                params=tree["params"],
+                opt_state=reshape_like(self.state.gen.opt_state,
+                                       tree["opt_state"]))
             disc = self.state.disc
             if "disc_params" in tree:
-                disc = disc.replace(params=tree["disc_params"],
-                                    opt_state=tree["disc_opt_state"])
+                disc = disc.replace(
+                    params=tree["disc_params"],
+                    opt_state=reshape_like(self.state.disc.opt_state,
+                                           tree["disc_opt_state"]))
             self.state = self.state.replace(
                 gen=gen, disc=disc,
                 disc_stats=tree.get("disc_stats", self.state.disc_stats))
         else:
-            self.state = self.state.replace(params=tree["params"],
-                                            opt_state=tree["opt_state"])
+            self.state = self.state.replace(
+                params=tree["params"],
+                opt_state=reshape_like(self.state.opt_state,
+                                       tree["opt_state"]))
         self.logger.info("Checkpoint loaded")
 
     # ------------------------------------------------------------------
@@ -495,7 +501,10 @@ class Trainer:
             from .schedules import PlateauScheduler
             plateau = PlateauScheduler(self.cfg.lr)
         metrics = {}
-        for epoch in range(self.cfg.epochs):
+        # self.epoch is the 1-indexed count of completed epochs (0 fresh,
+        # restored from the checkpoint on --resume), so it doubles as the
+        # 0-indexed id of the next epoch to run.
+        for epoch in range(self.epoch, self.cfg.epochs):
             self.set_epoch(epoch)
             self.train()
             if (epoch + 1) % max(self.cfg.val_interval, 1) == 0:
