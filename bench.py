@@ -73,10 +73,11 @@ def main():
     _arm_watchdog()
     import jax
     # fast liveness gate: if the tunnel is dead, a trivial op hangs and the
-    # 2400s watchdog outlives the driver's budget — probe with a short
-    # dedicated deadline first so a dead device yields the error JSON line
-    # within ~2 min instead of a timeout kill
-    probe = _arm_watchdog(150)
+    # 2400s watchdog outlives the driver's budget — probe with a dedicated
+    # deadline first so a dead device yields the error JSON line quickly.
+    # 240s, not less: a live-but-stormy tunnel has measured 30-80s for this
+    # trivial op, and a false "wedged" verdict costs the whole bench.
+    probe = _arm_watchdog(240)
     import jax.numpy as _jnp
     float(jax.jit(lambda x: (x * 2).sum())(_jnp.ones((8, 8))))
     probe.cancel()

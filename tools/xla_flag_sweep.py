@@ -20,14 +20,15 @@ import time
 
 import numpy as np
 
-BATCH, N_FRAMES, HW = 128, 8, 256
+BATCH = int(__import__("os").environ.get("SWEEP_BATCH", "128"))
+N_FRAMES, HW = 8, 256
 
 VARIANTS = [
     ("default", {}),
     ("vmem64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
     ("vmem96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
     ("vmem128m", {"xla_tpu_scoped_vmem_limit_kib": "131072"}),
-    ("vmem64m_lhs", {"xla_tpu_scoped_vmem_limit_kib": "65536",
+    ("vmem96m_lhs", {"xla_tpu_scoped_vmem_limit_kib": "98304",
                      "xla_tpu_enable_latency_hiding_scheduler": "true"}),
 ]
 
