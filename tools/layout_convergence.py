@@ -45,6 +45,9 @@ def main(argv=None):
                         "full posterior collapse (kl -> 0, constant "
                         "majority-class output) on the synthetic scenes")
     p.add_argument("--kl_warmup", type=int, default=500)
+    p.add_argument("--rollout_frames", type=int, default=8,
+                   help="autoregressive steps for the fidelity eval (and "
+                        "the CVAE prior-sample scan length)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (the session env pins the "
                         "tunneled TPU; env JAX_PLATFORMS alone is not "
@@ -66,6 +69,7 @@ def main(argv=None):
                      synthetic_val_size=args.val_size,
                      image_size=(args.size, args.size),
                      batch_size=args.bs, epochs=args.epochs, lr=args.lr,
+                     rollout_frames=args.rollout_frames,
                      compute_dtype="bfloat16", workers=4,
                      path=_os.path.join(args.path, family),
                      mesh_shape=(1,))
@@ -89,15 +93,16 @@ def main(argv=None):
             t.ckpt.save(t.epoch, t.state.params, t.state.opt_state,
                         t.global_step, f"layout_{family}")
         if family in ("cvae", "convlstm"):
-            # autoregressive rollout fidelity vs GT futures (8 steps),
-            # the layout-family counterpart of the flagship metric
+            # autoregressive rollout fidelity vs GT futures, the
+            # layout-family counterpart of the flagship metric
             from video_layout_generation_tpu.data.synthetic import (
                 SyntheticTriplets)
             from video_layout_generation_tpu.evaluation import (
                 evaluate_layout_rollout)
             ds = SyntheticTriplets(size=16, image_hw=cfg.image_size,
                                    seed=cfg.seed + 7)
-            fid = evaluate_layout_rollout(t, ds, range(16), n_frames=8)
+            fid = evaluate_layout_rollout(t, ds, range(16),
+                                          n_frames=args.rollout_frames)
             results[family]["rollout_per_step_miou"] = [
                 round(float(v), 4) for v in fid["per_step_miou"]]
             print(json.dumps({"family": family, "rollout_fidelity":
