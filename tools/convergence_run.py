@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--resume", default=None,
                    help='checkpoint to resume from ("latest" for the '
                         "newest in <path>/checkpoint)")
+    p.add_argument("--multistep_k", type=int, default=1,
+                   help="train on K autoregressive steps (BPTT; 1 = "
+                        "reference objective)")
     args = p.parse_args(argv)
 
     import jax
@@ -53,7 +56,7 @@ def main(argv=None):
                  compute_dtype="bfloat16", workers=4, print_freq=8,
                  path=args.path, mesh_shape=(1,), rollout_frames=8,
                  hed_weights=args.hed_weights, vgg_weights=args.vgg_weights,
-                 resume=args.resume)
+                 resume=args.resume, multistep_k=args.multistep_k)
     t = Trainer(cfg)
     m = t.fit()
     out = {k: round(float(v), 4) for k, v in m.items()

@@ -73,6 +73,13 @@ class Config:
     w_style: float = 20.0
     w_seg: float = 10.0
 
+    # -- multi-step training (beyond-reference; train/multistep.py) ----------
+    # K > 1 trains on K autoregressive steps (backprop through the rollout,
+    # loss averaged over steps); samples then carry K+2-frame windows.
+    # K = 1 is the reference objective.
+    multistep_k: int = 1
+    multistep_remat: bool = True        # jax.checkpoint each unrolled step
+
     # -- precision / performance -------------------------------------------
     compute_dtype: str = "bfloat16"     # activation dtype inside the nets
     loss_dtype: str = "float32"         # losses always reduced in fp32
@@ -224,6 +231,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--transfer_uint8", dest="transfer_uint8",
                    action="store_true", default=True)
     p.add_argument("--no_transfer_uint8", dest="transfer_uint8",
+                   action="store_false")
+    p.add_argument("--multistep_k", type=int, default=1,
+                   help="train on K autoregressive steps (1 = reference)")
+    p.add_argument("--multistep_remat", dest="multistep_remat",
+                   action="store_true", default=True)
+    p.add_argument("--no_multistep_remat", dest="multistep_remat",
                    action="store_false")
     return p
 

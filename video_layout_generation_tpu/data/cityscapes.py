@@ -124,6 +124,12 @@ class CityscapesSequences(CityscapesTriplets):
             except Exception:
                 self._native = None
 
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        """Stacked window contract {"imgs": (T,H,W,3) f32, "segs": (T,H,W)
+        i32} — the multi-step training input (train/multistep.py)."""
+        imgs, segs = self.sequence(index, self.n_frames)
+        return {"imgs": imgs.astype(np.float32), "segs": segs}
+
     def sequence(self, index: int, n_frames: int):
         seg_paths, img_paths = self.samples[index]
         n = min(n_frames, len(img_paths))

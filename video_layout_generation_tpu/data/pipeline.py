@@ -35,6 +35,12 @@ def pack_triplet_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     device-side (train/steps.py:decode_batch — slicing fuses for free).
     Batches with other schemas (layout families, partial dicts) pass
     through unchanged."""
+    if (set(batch) == {"imgs", "segs"}
+            and batch["imgs"].dtype == np.uint8
+            and batch["segs"].dtype == np.uint8):
+        # window contract (multi-step training): ONE (B,T,H,W,4) upload
+        return {"packedseq": np.concatenate(
+            [batch["imgs"], batch["segs"][..., None]], axis=-1)}
     if (set(batch) != set(_TRIPLET_KEYS)
             or any(batch[k].dtype != np.uint8 for k in _TRIPLET_KEYS)):
         return batch

@@ -34,13 +34,18 @@ class SyntheticTriplets:
     def __init__(self, size: int = 64, image_hw: Tuple[int, int] = (256, 256),
                  n_classes: int = 20, n_shapes: int = 6, stride: int = 3,
                  seed: int = 0, cache: bool = True,
-                 emit_uint8: bool = False):
+                 emit_uint8: bool = False, n_frames: int = 3):
         self.size = size
         self.hw = image_hw
         self.n_classes = n_classes
         self.n_shapes = n_shapes
         self.stride = stride
         self.seed = seed
+        # n_frames == 3 keeps the reference 6-field triplet contract;
+        # n_frames > 3 emits the stacked window contract
+        # {"imgs": (T,H,W,3), "segs": (T,H,W)} used by multi-step training
+        # (train/multistep.py)
+        self.n_frames = n_frames
         ids_fit = n_classes <= 255
         self._cache = {} if (cache and ids_fit) else None
         self.emit_uint8 = emit_uint8 and ids_fit
@@ -92,6 +97,13 @@ class SyntheticTriplets:
 
     def _sample_uint8(self, index: int) -> Dict[str, np.ndarray]:
         shapes = self._scene(index)
+        if self.n_frames != 3:
+            imgs, segs = [], []
+            for k in range(self.n_frames):
+                img, seg = self._render(shapes, k * self.stride)
+                imgs.append((img * 255.0 + 0.5).astype(np.uint8))
+                segs.append(seg.astype(np.uint8))
+            return {"imgs": np.stack(imgs), "segs": np.stack(segs)}
         out: Dict[str, np.ndarray] = {}
         for k, t in ((1, 0), (2, self.stride), (3, 2 * self.stride)):
             img, seg = self._render(shapes, t)
@@ -103,6 +115,15 @@ class SyntheticTriplets:
         return out
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        if self.n_frames != 3 and self._cache is None and not self.emit_uint8:
+            shapes = self._scene(index)
+            imgs, segs = [], []
+            for k in range(self.n_frames):
+                img, seg = self._render(shapes, k * self.stride)
+                imgs.append(img)
+                segs.append(seg)
+            return {"imgs": np.stack(imgs).astype(np.float32),
+                    "segs": np.stack(segs).astype(np.int32)}
         if self._cache is None and not self.emit_uint8:
             # uncached float path (ids may exceed uint8)
             shapes = self._scene(index)
@@ -124,6 +145,9 @@ class SyntheticTriplets:
             u8 = self._sample_uint8(index)
         if self.emit_uint8:
             return u8
+        if self.n_frames != 3:
+            return {"imgs": u8["imgs"].astype(np.float32) / 255.0,
+                    "segs": u8["segs"].astype(np.int32)}
         return {
             "img1": u8["img1"].astype(np.float32) / 255.0,
             "img2": u8["img2"].astype(np.float32) / 255.0,

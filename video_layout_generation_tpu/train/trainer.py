@@ -139,11 +139,20 @@ class Trainer:
                 dtype=dtype, coord_in=(cfg.arch == "CoordGridNet"))
         hned_apply = self.hned.apply if self.hned is not None else None
         if cfg.gan_train:
+            if cfg.multistep_k > 1:
+                raise ValueError("multistep_k > 1 is not supported with "
+                                 "gan_train (single-step adversarial loss)")
             from .gan import make_gan_train_step
             self._train_step = make_gan_train_step(
                 model_apply, self.disc.apply, hned_apply, self.combined,
                 cfg.gan_mode, cfg.w_l1, cfg.w_style, cfg.w_seg,
                 disc_batch_stats=(self.disc.norm == "batch"))
+        elif cfg.multistep_k > 1:
+            from .multistep import make_multistep_train_step
+            self._train_step = make_multistep_train_step(
+                model_apply, hned_apply, self.combined, cfg.multistep_k,
+                cfg.w_l1, cfg.w_style, cfg.w_seg,
+                remat_steps=cfg.multistep_remat)
         else:
             self._train_step = make_train_step(
                 model_apply, hned_apply, self.combined,
@@ -324,6 +333,9 @@ class Trainer:
         """TB image grids like the reference (src/trainer.py:282-286):
         GT frame, generated frame, GT seg, predicted seg (colorized), and
         the predicted-frame edge map."""
+        from .multistep import is_window_batch, window_to_triplet_batch
+        if is_window_batch(batch):
+            batch = window_to_triplet_batch(batch)
         _, seg_ids, img_n = self._eval_step(self.model_params,
                                             self.hned_params, batch)
         batch = decode_batch(batch)
