@@ -41,6 +41,12 @@ def main(argv=None):
     p.add_argument("--multistep_k", type=int, default=1,
                    help="train on K autoregressive steps (BPTT; 1 = "
                         "reference objective)")
+    p.add_argument("--ckpt", default=None,
+                   help="warm-start WEIGHTS only (fresh optimizer/epoch) — "
+                        "use when switching objectives, e.g. multistep "
+                        "finetunes: resumed Adam moments are calibrated to "
+                        "the old gradient scale and diverge")
+    p.add_argument("--lr", type=float, default=2e-4)
     args = p.parse_args(argv)
 
     import jax
@@ -56,7 +62,8 @@ def main(argv=None):
                  compute_dtype="bfloat16", workers=4, print_freq=8,
                  path=args.path, mesh_shape=(1,), rollout_frames=8,
                  hed_weights=args.hed_weights, vgg_weights=args.vgg_weights,
-                 resume=args.resume, multistep_k=args.multistep_k)
+                 resume=args.resume, multistep_k=args.multistep_k,
+                 ckpt=args.ckpt, lr=args.lr)
     t = Trainer(cfg)
     m = t.fit()
     out = {k: round(float(v), 4) for k, v in m.items()
