@@ -193,3 +193,38 @@ def test_trainer_multistep_e2e(tmp_path):
     m = t.fit()
     assert np.isfinite(m["loss"])
     assert "miou" in m
+
+
+def test_multistep_dp_step_matches_single_device():
+    """8-device sharded multistep step == single-device (the window batch
+    shards on axis 0; loss mean-reductions make XLA insert the grad
+    allreduce, same as the triplet step)."""
+    from video_layout_generation_tpu.parallel.mesh import (make_mesh,
+                                                           shard_batch)
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must fake 8 CPU devices"
+    model = GridNet(n_channels=8, filters_level=(4, 6, 8))
+    combined = CombinedLoss.create(image_hw=(16, 16))
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, 16, 16, 8)))
+    step = make_multistep_train_step(model.apply, None, combined, k=2,
+                                     donate=False)
+    rng_d = np.random.default_rng(11)
+    host = {"imgs": rng_d.random((8, 4, 16, 16, 3)).astype(np.float32),
+            "segs": rng_d.integers(0, 20, (8, 4, 16, 16)).astype(np.int32)}
+    rng = jax.random.key(7)
+    tx = make_optimizer("adam", 2e-4, 0.5)
+
+    s1 = TrainState.create(params, tx)
+    s1, m1 = step(s1, None, jax.tree_util.tree_map(jnp.asarray, host), rng)
+
+    mesh = make_mesh(devices=devices[:8])
+    with jax.set_mesh(mesh):
+        s8 = TrainState.create(params, tx)
+        s8, m8 = step(s8, None, shard_batch(host, mesh), rng)
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
