@@ -93,6 +93,14 @@ class Config:
     transfer_uint8: bool = True         # ship batches host->device as uint8
                                         # (4x less H2D; exact for 8-bit PNG
                                         # sources; decoded on device)
+    device_data: bool = False           # synthetic only: render training
+                                        # batches ON device from the scene
+                                        # table (zero per-step H2D traffic;
+                                        # data/device_synthetic.py)
+    epoch_scan: bool = False            # with device_data: run each whole
+                                        # training epoch as ONE compiled
+                                        # lax.scan (one dispatch per epoch;
+                                        # train/epoch_scan.py)
 
     # -- runtime ------------------------------------------------------------
     workers: int = 4
@@ -234,6 +242,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--multistep_k", type=int, default=1,
                    help="train on K autoregressive steps (1 = reference)")
+    p.add_argument("--device_data", action="store_true", default=False,
+                   help="synthetic only: render training batches on device")
+    p.add_argument("--epoch_scan", action="store_true", default=False,
+                   help="with --device_data: one compiled scan per epoch")
     p.add_argument("--multistep_remat", dest="multistep_remat",
                    action="store_true", default=True)
     p.add_argument("--no_multistep_remat", dest="multistep_remat",

@@ -84,6 +84,17 @@ class SyntheticTriplets:
         img = np.clip(img * (0.7 + 0.3 * yy), 0.0, 1.0)
         return img, seg
 
+    def scene_table(self) -> np.ndarray:
+        """(size, n_shapes, 7) float32 scene-parameter table
+        [cls, cy, cx, hh, ww, vy, vx] — the complete generative state of
+        every sample. The device renderer (data/device_synthetic.py)
+        uploads this once (~86 KB at size=512) and re-renders any frame of
+        any sample on-device with the same geometry math."""
+        out = np.zeros((self.size, self.n_shapes, 7), np.float32)
+        for i in range(self.size):
+            out[i] = np.asarray(self._scene(i), np.float32)
+        return out
+
     def sequence(self, index: int, n_frames: int):
         """Ground-truth (imgs, segs) for n_frames at stride spacing — used
         by rollout fidelity evaluation (the scene is deterministic)."""

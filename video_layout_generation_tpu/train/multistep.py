@@ -155,7 +155,8 @@ def make_multistep_train_step(model_apply: Callable,
                               k: int, w_l1: float = 40.0,
                               w_style: float = 20.0, w_seg: float = 10.0,
                               flip_mode: str = "batch",
-                              remat_steps: bool = True, donate: bool = True):
+                              remat_steps: bool = True, donate: bool = True,
+                              jit: bool = True):
     """Returns jitted ``train_step(state, hned_params, batch, rng)`` over
     the window contract; the reference's whole-batch flip coin
     (src/trainer.py:200) applies to the full window."""
@@ -170,4 +171,6 @@ def make_multistep_train_step(model_apply: Callable,
             state.params, hned_params, imgs, segs, coin)
         return state.apply_gradients(grads), metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -108,8 +108,10 @@ def make_loss_fn(model_apply: Callable, combined_loss,
 def make_train_step(model_apply: Callable, hned_apply: Optional[Callable],
                     combined_loss, w_l1: float = 40.0, w_style: float = 20.0,
                     w_seg: float = 10.0, flip_mode: str = "batch",
-                    donate: bool = True):
-    """Returns jitted ``train_step(state, hned_params, batch, rng)``."""
+                    donate: bool = True, jit: bool = True):
+    """Returns jitted ``train_step(state, hned_params, batch, rng)``
+    (``jit=False`` returns the raw traceable body — the epoch-scan
+    executor composes it inside its own compiled program)."""
     loss_fn = make_loss_fn(model_apply, combined_loss, w_l1, w_style, w_seg)
 
     def train_step(state: TrainState, hned_params, batch, rng):
@@ -129,6 +131,8 @@ def make_train_step(model_apply: Callable, hned_apply: Optional[Callable],
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 

@@ -157,6 +157,21 @@ class Trainer:
             self._train_step = make_train_step(
                 model_apply, hned_apply, self.combined,
                 cfg.w_l1, cfg.w_style, cfg.w_seg)
+        self._epoch_fn = None
+        if cfg.epoch_scan:
+            if not cfg.device_data or cfg.gan_train:
+                raise ValueError("epoch_scan requires device_data=True and "
+                                 "a non-GAN trainer")
+            if cfg.multistep_k > 1:
+                from .multistep import make_multistep_train_step as _mk
+                raw = _mk(model_apply, hned_apply, self.combined,
+                          cfg.multistep_k, cfg.w_l1, cfg.w_style, cfg.w_seg,
+                          remat_steps=cfg.multistep_remat, jit=False)
+            else:
+                raw = make_train_step(model_apply, hned_apply, self.combined,
+                                      cfg.w_l1, cfg.w_style, cfg.w_seg,
+                                      jit=False)
+            self._raw_step_for_scan = raw  # renderer attaches after loaders
         self._eval_step = make_eval_step(
             model_apply, hned_apply, self.combined.eval_variant(),
             cfg.w_l1, cfg.w_style, cfg.w_seg, n_classes=cfg.n_classes)
@@ -191,7 +206,22 @@ class Trainer:
         # --- data --------------------------------------------------------
         if dataset_train is None:
             dataset_train, dataset_val = self._default_datasets()
-        self.train_loader = self._wrap_loader(dataset_train, shuffle=True)
+        if cfg.device_data:
+            if not hasattr(dataset_train, "scene_table"):
+                raise ValueError("device_data=True needs a dataset exposing "
+                                 "scene_table() (synthetic only)")
+            if jax.process_count() > 1:
+                raise ValueError("device_data is single-process only")
+            from ..data.device_synthetic import DeviceSyntheticLoader
+            self.train_loader = DeviceSyntheticLoader(
+                dataset_train, cfg.batch_size, mesh=self.mesh, seed=cfg.seed,
+                n_frames=(cfg.multistep_k + 2 if cfg.multistep_k > 1 else 3))
+            if cfg.epoch_scan:
+                from .epoch_scan import make_epoch_scan
+                self._epoch_fn = make_epoch_scan(self.train_loader._render,
+                                                 self._raw_step_for_scan)
+        else:
+            self.train_loader = self._wrap_loader(dataset_train, shuffle=True)
         self.val_loader = self._wrap_loader(dataset_val, shuffle=False)
 
         # --- observability ----------------------------------------------
@@ -288,6 +318,8 @@ class Trainer:
     def train(self):
         self.logger.info("Training started")
         cfg = self.cfg
+        if self._epoch_fn is not None:
+            return self._train_epoch_scan()
         timer = StepTimer()
         n_batches = len(self.train_loader)
         base_key = jax.random.key(cfg.seed)  # one device op per epoch
@@ -328,6 +360,34 @@ class Trainer:
         self.logger.debug("epoch drained at step %d"
                           % int(self.state.step if not self.cfg.gan_train
                                 else self.state.gen.step))
+
+    def _train_epoch_scan(self):
+        """Whole epoch in one compiled scan (train/epoch_scan.py): one
+        dispatch, one fetch; per-step losses come back as a stack."""
+        cfg = self.cfg
+        idx_all = jnp.asarray(self.train_loader.epoch_indices())
+        if self.n_devices > 1:  # shard each scan step's batch over 'data'
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            idx_all = jax.device_put(
+                idx_all, NamedSharding(self.mesh, P(None, "data")))
+        t0 = time.time()
+        base_key = jax.random.key(cfg.seed)
+        self.state, losses = self._epoch_fn(
+            self.state, self.hned_params, idx_all, base_key,
+            jnp.int32(self.global_step))
+        self.global_step += idx_all.shape[0]
+        losses = np.asarray(losses)  # fetch = epoch-end sync
+        wall = time.time() - t0
+        if is_primary():
+            self.logger.info(
+                "Epoch [%d/%d] scanned %d steps in %.2fs (%.1f ms/step) "
+                "loss first [%.4f] last [%.4f] mean [%.4f]" % (
+                    self.epoch, cfg.epochs, len(losses), wall,
+                    wall * 1e3 / max(len(losses), 1), losses[0], losses[-1],
+                    float(losses.mean())))
+            self.writer.add_scalar("train/loss", float(losses.mean()),
+                                   self.global_step)
+        self.logger.debug("epoch drained at step %d" % int(self.state.step))
 
     def _log_train_images(self, batch):
         """TB image grids like the reference (src/trainer.py:282-286):
