@@ -123,20 +123,30 @@ def main():
 
     # single-stream latency (batch 1, same 8-frame workload) as an extra
     # field; skipped if the batched part ate the time budget (a cold cache
-    # means the b1 compile could blow the driver's 580s timeout)
-    b1_ms = None
+    # means the b1 compile could blow the driver's 580s timeout).
+    # Both numbers are reported: wall includes the tunnel round trip
+    # (~27 ms nominal, weather-dependent); device subtracts an RTT measured
+    # in the same second with a trivial pre-compiled scalar fetch — that is
+    # the on-chip latency a local host would see.
+    b1_wall_ms = b1_dev_ms = None
     if time.time() - _T_START < 120:
         try:
+            tiny = jax.jit(lambda x: (x * 2).sum())
+            float(tiny(_jnp.ones((8, 8))))  # compiled above; warm again
             i1, s1 = img[:1], seg[:1]
             float(fn(params, i1, i1, s1, s1)[0])  # compile + warmup
-            ts = []
-            for _ in range(REPEATS):
+            ts, rtts = [], []
+            for _ in range(REPEATS * 2):
+                t0 = time.perf_counter()
+                float(tiny(_jnp.ones((8, 8))))
+                rtts.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 float(fn(params, i1, i1, s1, s1)[0])
                 ts.append(time.perf_counter() - t0)
-            b1_ms = round(min(ts) * 1000, 1)
+            b1_wall_ms = round(min(ts) * 1000, 1)
+            b1_dev_ms = round(max(min(ts) - min(rtts), 0.0) * 1000, 1)
         except Exception:
-            b1_ms = None
+            b1_wall_ms = b1_dev_ms = None
 
     baseline = _load_baseline()
     out = {
@@ -146,8 +156,9 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline, 2),
     }
-    if b1_ms is not None:
-        out["batch1_8frame_latency_ms"] = b1_ms
+    if b1_wall_ms is not None:
+        out["batch1_latency_wall_ms"] = b1_wall_ms
+        out["batch1_latency_device_ms"] = b1_dev_ms
     print(json.dumps(out))
 
 

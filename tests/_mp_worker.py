@@ -26,7 +26,9 @@ def main():
                              sys.argv[3], sys.argv[4])
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("VLG_TEST_CACHE_DIR",
+                                     "/root/repo/.jax_cache"))
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=nproc, process_id=pid)
     assert jax.process_index() == pid and jax.process_count() == nproc
@@ -39,8 +41,8 @@ def main():
     from video_layout_generation_tpu.data.synthetic import SyntheticTriplets
     from video_layout_generation_tpu.losses.combined import CombinedLoss
     from video_layout_generation_tpu.models import GridNet
-    from video_layout_generation_tpu.parallel.mesh import (is_primary,
-                                                           make_mesh)
+    from video_layout_generation_tpu.parallel.mesh import (
+        compile_then_barrier, is_primary, make_mesh)
     from video_layout_generation_tpu.train.state import (TrainState,
                                                          make_optimizer)
     from video_layout_generation_tpu.train.steps import (make_eval_step,
@@ -69,11 +71,23 @@ def main():
 
     losses = []
     with jax.set_mesh(mesh):
+        # AOT-compile BOTH cross-process programs before the first collective
+        # execution: Gloo's context init has a 30 s KV deadline, and a peer
+        # still inside a cold single-core XLA compile blows it. Compile is
+        # local; the barrier synchronizes entry into the first collective.
+        train_loader.set_epoch(0)
+        first = next(iter(train_loader))
+        key0 = jax.random.fold_in(jax.random.key(42), 0)
+        step_x = compile_then_barrier(step, state, None, first, key0,
+                                      name="train_step_compiled")
+        eval_x = compile_then_barrier(eval_step, state.params, None, first,
+                                      name="eval_step_compiled")
+
         for epoch in range(2):
             train_loader.set_epoch(epoch)
             for i, batch in enumerate(train_loader):
                 key = jax.random.fold_in(jax.random.key(42), epoch * 100 + i)
-                state, metrics = step(state, None, batch, key)
+                state, metrics = step_x(state, None, batch, key)
                 losses.append(float(metrics["loss"]))
 
         # validate-style global aggregation (reference size-weighted
@@ -81,7 +95,7 @@ def main():
         # jitted eval step over the global batch and come back replicated
         loss_sum, n, cm_total = 0.0, 0, np.zeros((20, 20))
         for batch in val_loader:
-            m, _, _ = eval_step(state.params, None, batch)
+            m, _, _ = eval_x(state.params, None, batch)
             bs = next(iter(jax.tree_util.tree_leaves(batch))).shape[0]
             loss_sum += float(m["loss"]) * bs
             n += bs

@@ -47,6 +47,17 @@ def main(argv=None):
                         "finetunes: resumed Adam moments are calibrated to "
                         "the old gradient scale and diverge")
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--multistep_discount", type=float, default=1.0,
+                   help="per-step loss weight discount**(K-1-i) inside the "
+                        "K-step objective (< 1 up-weights late steps)")
+    p.add_argument("--multistep_feedback_noise", type=float, default=0.0,
+                   help="sigma of Gaussian noise on the fed-back frame")
+    p.add_argument("--scheduled_sampling", type=float, default=0.0,
+                   help="scheduled-sampling probability (single-step only)")
+    p.add_argument("--scheduled_ramp", type=int, default=0,
+                   help="epochs to ramp scheduled_sampling from 0")
+    p.add_argument("--chunk_steps", type=int, default=0,
+                   help="host-fed chunked dispatch: K steps per program")
     args = p.parse_args(argv)
 
     import jax
@@ -63,7 +74,12 @@ def main(argv=None):
                  path=args.path, mesh_shape=(1,), rollout_frames=8,
                  hed_weights=args.hed_weights, vgg_weights=args.vgg_weights,
                  resume=args.resume, multistep_k=args.multistep_k,
-                 ckpt=args.ckpt, lr=args.lr)
+                 ckpt=args.ckpt, lr=args.lr,
+                 multistep_discount=args.multistep_discount,
+                 multistep_feedback_noise=args.multistep_feedback_noise,
+                 scheduled_sampling=args.scheduled_sampling,
+                 scheduled_ramp=args.scheduled_ramp,
+                 chunk_steps=args.chunk_steps)
     t = Trainer(cfg)
     m = t.fit()
     out = {k: round(float(v), 4) for k, v in m.items()

@@ -79,6 +79,18 @@ class Config:
     # K = 1 is the reference objective.
     multistep_k: int = 1
     multistep_remat: bool = True        # jax.checkpoint each unrolled step
+    multistep_discount: float = 1.0     # < 1 up-weights LATE steps: step i
+                                        # weight = discount**(K-1-i), mean-
+                                        # normalized (1.0 = plain mean)
+    multistep_feedback_noise: float = 0.0  # N(0, sigma) on the fed-back
+                                        # predicted frame during training
+    scheduled_sampling: float = 0.0     # p of feeding the model its own
+                                        # (detached) prediction as the newest
+                                        # input pair (train/scheduled.py);
+                                        # needs 4-frame windows, excludes
+                                        # multistep_k > 1
+    scheduled_ramp: int = 0             # epochs to ramp p from 0 to the
+                                        # final value (0 = constant)
 
     # -- precision / performance -------------------------------------------
     compute_dtype: str = "bfloat16"     # activation dtype inside the nets
@@ -101,6 +113,11 @@ class Config:
                                         # training epoch as ONE compiled
                                         # lax.scan (one dispatch per epoch;
                                         # train/epoch_scan.py)
+    chunk_steps: int = 0                # > 1: host-fed chunked dispatch —
+                                        # upload K batches as one array, run
+                                        # K steps per compiled program
+                                        # (train/chunk_scan.py); works with
+                                        # ANY dataset, unlike epoch_scan
 
     # -- runtime ------------------------------------------------------------
     workers: int = 4
@@ -242,10 +259,23 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--multistep_k", type=int, default=1,
                    help="train on K autoregressive steps (1 = reference)")
+    p.add_argument("--multistep_discount", type=float, default=1.0,
+                   help="per-step loss weight discount**(K-1-i): < 1 "
+                        "up-weights late steps (1.0 = plain mean)")
+    p.add_argument("--multistep_feedback_noise", type=float, default=0.0,
+                   help="sigma of Gaussian noise on the fed-back frame")
+    p.add_argument("--scheduled_sampling", type=float, default=0.0,
+                   help="scheduled-sampling probability (0 = teacher-forced)")
+    p.add_argument("--scheduled_ramp", type=int, default=0,
+                   help="epochs to ramp scheduled_sampling from 0 (0 = "
+                        "constant)")
     p.add_argument("--device_data", action="store_true", default=False,
                    help="synthetic only: render training batches on device")
     p.add_argument("--epoch_scan", action="store_true", default=False,
                    help="with --device_data: one compiled scan per epoch")
+    p.add_argument("--chunk_steps", type=int, default=0,
+                   help="host-fed chunked dispatch: K steps per compiled "
+                        "program, K batches per upload (0 = per-step)")
     p.add_argument("--multistep_remat", dest="multistep_remat",
                    action="store_true", default=True)
     p.add_argument("--no_multistep_remat", dest="multistep_remat",

@@ -14,6 +14,10 @@ def get_dataset(cfg):
     comparable across K."""
     k = getattr(cfg, "multistep_k", 1)
     train_frames = k + 2 if k > 1 else 3
+    if getattr(cfg, "scheduled_sampling", 0.0) > 0:
+        # scheduled sampling (train/scheduled.py) needs a teacher step one
+        # frame earlier: 4-frame windows
+        train_frames = max(train_frames, 4)
     if cfg.dataset == "cityscape":
         if train_frames != 3:
             train = CityscapesSequences(cfg.train_dir, train_frames,

@@ -47,6 +47,70 @@ def reshape_like(template: Any, restored: Any) -> Any:
     return restored  # leaf
 
 
+def merge_params(live: Any, restored: Any):
+    """Key-gated partial warm start (the reference's ``--ckpt`` semantics,
+    src/trainer.py:65-76: ``{k: v for k, v in ckpt if k in model_dict}`` then
+    ``model_dict.update(...)``): take the restored value for every leaf path
+    present in BOTH trees with a matching shape, keep the live initializer
+    everywhere else.
+
+    This is what makes cross-architecture warm starts work — e.g. seeding a
+    CoordGridNet from a GridNet checkpoint loads every shared block and
+    freshly initializes the coord-specific ones, instead of crashing on the
+    wholesale replace.
+
+    Returns ``(merged, report)`` where report is a dict of sorted path lists:
+    ``loaded`` (intersection, shape-matched), ``missing`` (live-only, kept at
+    init), ``unexpected`` (checkpoint-only, dropped), ``shape_mismatch``
+    (both, incompatible shapes — kept at init, like torch strict=False).
+    """
+    import numpy as np
+
+    def _flatten(tree, prefix=()):
+        out = {}
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                out.update(_flatten(v, prefix + (str(k),)))
+        else:
+            out[prefix] = tree
+        return out
+
+    flat_live = _flatten(live)
+    flat_restored = _flatten(restored)
+    loaded, mismatched = [], []
+    merged_flat = {}
+    for path, leaf in flat_live.items():
+        if path in flat_restored:
+            r = flat_restored[path]
+            if tuple(np.shape(r)) == tuple(np.shape(leaf)):
+                merged_flat[path] = r
+                loaded.append("/".join(path))
+                continue
+            mismatched.append(
+                f"{'/'.join(path)} (ckpt {tuple(np.shape(r))} vs "
+                f"live {tuple(np.shape(leaf))})")
+        merged_flat[path] = leaf
+
+    def _unflatten(flat):
+        tree: dict = {}
+        for path, leaf in flat.items():
+            node = tree
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = leaf
+        return tree
+
+    report = {
+        "loaded": sorted(loaded),
+        "missing": sorted("/".join(p) for p in flat_live
+                          if p not in flat_restored),
+        "unexpected": sorted("/".join(p) for p in flat_restored
+                             if p not in flat_live),
+        "shape_mismatch": sorted(mismatched),
+    }
+    return _unflatten(merged_flat), report
+
+
 class CheckpointManager:
     def __init__(self, directory: str):
         self.directory = os.path.abspath(directory)

@@ -63,6 +63,44 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def cross_process_barrier(name: str, timeout_s: int = 1200) -> None:
+    """Block until every process in the ``jax.distributed`` group reaches
+    this barrier (no-op outside a process group).
+
+    Why this exists: Gloo CPU collectives initialize their context during the
+    FIRST cross-process program execution with a hard 30 s KV-store deadline.
+    On a slow host a peer still inside a cold XLA compile blows that deadline
+    and kills the whole group. The fix is structural: AOT-compile every
+    multi-process program first, barrier here (generous timeout — compiles,
+    not collectives, dominate), and only then execute, so all processes enter
+    the Gloo context init within milliseconds of each other. The reference
+    has the same problem class with NCCL rendezvous and solves it with
+    NCCL_TIMEOUT env knobs; a barrier keyed on compile completion is the
+    robust version.
+    """
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None:  # not a multi-process run
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000,
+                           process_ids=None)
+
+
+def compile_then_barrier(jitted, *args, name: str, timeout_s: int = 1200):
+    """AOT-compile a jitted callable against concrete/abstract args, then
+    barrier the process group. Returns the compiled executable.
+
+    Use this for every program whose execution issues cross-process
+    collectives: compilation is purely local, so compiling BEFORE the
+    barrier guarantees no process is still compiling when the first
+    collective's Gloo/ICI context handshake (with its short internal
+    deadline) begins.
+    """
+    compiled = jitted.lower(*args).compile()
+    cross_process_barrier(name, timeout_s)
+    return compiled
+
+
 def maybe_initialize_distributed() -> bool:
     """Multi-host bring-up: call jax.distributed.initialize() when the
     standard coordinator env vars are present (the TPU-native successor to

@@ -70,10 +70,22 @@ def is_window_batch(batch: Dict[str, jnp.ndarray]) -> bool:
 def make_multistep_loss_fn(model_apply: Callable,
                            hned_apply: Optional[Callable], combined_loss,
                            k: int, w_l1: float = 40.0, w_style: float = 20.0,
-                           w_seg: float = 10.0, remat_steps: bool = True):
-    """Build ``loss(params, hned_params, imgs, segs, coin)``
+                           w_seg: float = 10.0, remat_steps: bool = True,
+                           discount: float = 1.0,
+                           feedback_noise: float = 0.0):
+    """Build ``loss(params, hned_params, imgs, segs, coin, noise_key)``
     -> (loss, metrics) over K autoregressive steps. imgs: (N,K+2,H,W,3)
     in [0,1]; segs: (N,K+2,H,W) int; coin: bool whole-batch flip.
+
+    ``discount`` < 1 UP-weights late steps: step i carries weight
+    discount**(k-1-i), normalized to mean 1 so the loss scale (and
+    therefore the Adam-calibrated lr) is unchanged — discount=1 is the
+    plain mean and is bit-identical to the original objective.
+
+    ``feedback_noise`` > 0 adds N(0, sigma) to the fed-back predicted frame
+    (in normalized space) during training — the model learns to tolerate
+    its own imperfect feedback, a train/rollout distribution-gap remedy.
+    The layout feedback stays exact (class ids don't perturb usefully).
 
     Flip order matches the reference (src/trainer.py:190-206): seed edges
     are extracted from the UNFLIPPED frames, then inputs, targets, and edge
@@ -81,12 +93,16 @@ def make_multistep_loss_fn(model_apply: Callable,
     if k < 1:
         raise ValueError(f"multistep k must be >= 1, got {k}")
     use_edges = hned_apply is not None
+    # static per-step weights, mean 1 (discount=1 -> all ones -> plain mean)
+    step_w = jnp.asarray([discount ** (k - 1 - i) for i in range(k)],
+                         jnp.float32)
+    step_w = step_w / jnp.mean(step_w)
 
     def edge(hned_params, frame_n):
         e = hned_apply(hned_params, denormalize_image(frame_n))[-1]
         return jax.lax.stop_gradient(e)
 
-    def loss_fn(params, hned_params, imgs, segs, coin):
+    def loss_fn(params, hned_params, imgs, segs, coin, noise_key=None):
         if imgs.shape[1] != k + 2:
             raise ValueError(f"multistep k={k} needs {k + 2}-frame windows, "
                              f"got {imgs.shape[1]}")
@@ -114,8 +130,11 @@ def make_multistep_loss_fn(model_apply: Callable,
         seeds, tgt_f, tgt_s = jax.lax.cond(coin, flip_all, lambda t: t,
                                            (seeds, tgt_f, tgt_s))
 
-        def step(carry, tgt):
-            tf, ts = tgt
+        def step(carry, xs):
+            if feedback_noise > 0.0:
+                tf, ts, nkey = xs
+            else:
+                tf, ts = xs
             if use_edges:
                 f_o, f_n, s_o, s_n, e_o, e_n = carry
                 x = assemble_model_input(s_o, f_o, f_n, s_n, e_o, e_n)
@@ -130,17 +149,25 @@ def make_multistep_loss_fn(model_apply: Callable,
             s_next = jax.lax.stop_gradient(
                 jnp.argmax(seg_logits, axis=-1))[..., None].astype(
                     jnp.float32)
+            img_fb = img_n
+            if feedback_noise > 0.0:
+                img_fb = img_n + feedback_noise * jax.random.normal(
+                    nkey, img_n.shape, img_n.dtype)
             if use_edges:
-                carry = (f_n, img_n, s_n, s_next, e_n,
-                         edge(hned_params, img_n))
+                carry = (f_n, img_fb, s_n, s_next, e_n,
+                         edge(hned_params, img_fb))
             else:
-                carry = (f_n, img_n, s_n, s_next)
+                carry = (f_n, img_fb, s_n, s_next)
             return carry, jnp.stack([step_l1, step_style, step_seg])
 
+        xs = (tgt_f, tgt_s)
+        if feedback_noise > 0.0:
+            xs = xs + (jax.random.split(noise_key, k),)
         body = jax.checkpoint(step) if (remat_steps and k > 1) else step
-        _, per_step = jax.lax.scan(body, seeds, (tgt_f, tgt_s), length=k)
-        # per_step: (K, 3); mean over steps keeps K=1 == the reference loss
-        terms = jnp.mean(per_step, axis=0)
+        _, per_step = jax.lax.scan(body, seeds, xs, length=k)
+        # per_step: (K, 3); discount=1 -> plain mean keeps K=1 == the
+        # reference loss; discount<1 up-weights late (harder) steps
+        terms = jnp.mean(step_w[:, None] * per_step, axis=0)
         total = jnp.sum(terms)
         metrics = {"loss": total, "loss_l1": terms[0],
                    "loss_style": terms[1], "loss_seg": terms[2],
@@ -156,19 +183,23 @@ def make_multistep_train_step(model_apply: Callable,
                               w_style: float = 20.0, w_seg: float = 10.0,
                               flip_mode: str = "batch",
                               remat_steps: bool = True, donate: bool = True,
-                              jit: bool = True):
+                              jit: bool = True, discount: float = 1.0,
+                              feedback_noise: float = 0.0):
     """Returns jitted ``train_step(state, hned_params, batch, rng)`` over
     the window contract; the reference's whole-batch flip coin
     (src/trainer.py:200) applies to the full window."""
     loss_fn = make_multistep_loss_fn(model_apply, hned_apply, combined_loss,
-                                     k, w_l1, w_style, w_seg, remat_steps)
+                                     k, w_l1, w_style, w_seg, remat_steps,
+                                     discount, feedback_noise)
 
     def train_step(state: TrainState, hned_params, batch, rng):
         imgs, segs = decode_window_batch(batch)
         coin = (jax.random.bernoulli(rng) if flip_mode == "batch"
                 else jnp.asarray(False))
+        noise_key = (jax.random.fold_in(rng, 7)
+                     if feedback_noise > 0.0 else None)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, hned_params, imgs, segs, coin)
+            state.params, hned_params, imgs, segs, coin, noise_key)
         return state.apply_gradients(grads), metrics
 
     if not jit:

@@ -29,7 +29,7 @@ from ..config import Config
 from ..data.pipeline import HostLoader, ShardedLoader
 from ..evaluation.export import save_npy_stack
 from ..evaluation.metrics import summarize_confusion
-from ..io.checkpoint import CheckpointManager, reshape_like
+from ..io.checkpoint import CheckpointManager, merge_params, reshape_like
 from ..io.logging import get_logger
 from ..io.tb import SummaryWriter
 from ..losses.combined import CombinedLoss
@@ -116,17 +116,42 @@ class Trainer:
         # --- checkpointing ----------------------------------------------
         ckpt_dir = os.path.join(cfg.path, "checkpoint") if cfg.path else None
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
-        if cfg.ckpt:  # warm-start weights only
+        if cfg.ckpt:  # warm-start weights only, key-gated intersection
+            # (reference src/trainer.py:65-76 loads only ckpt keys present in
+            # the live model — the cross-arch warm-start contract)
             self.logger.info("Loading from ckpt %s" % cfg.ckpt)
             tree = CheckpointManager.restore_path(cfg.ckpt)
+
+            def _merge(live_params, restored, tag):
+                merged, rep = merge_params(live_params, restored)
+                self.logger.info(
+                    "%s warm start: %d loaded, %d missing (kept init), "
+                    "%d unexpected, %d shape-mismatched", tag,
+                    len(rep["loaded"]), len(rep["missing"]),
+                    len(rep["unexpected"]), len(rep["shape_mismatch"]))
+                for kind in ("missing", "unexpected", "shape_mismatch"):
+                    for p in rep[kind]:
+                        self.logger.info("  %s: %s", kind, p)
+                if not rep["loaded"]:
+                    raise ValueError(
+                        f"ckpt {cfg.ckpt} shares no parameters with the "
+                        f"live {cfg.arch} model")
+                return merged
+
             if cfg.gan_train:
-                gen = self.state.gen.replace(params=tree["params"])
+                gen = self.state.gen.replace(
+                    params=_merge(self.state.gen.params, tree["params"],
+                                  "generator"))
                 disc = self.state.disc
                 if "disc_params" in tree:
-                    disc = disc.replace(params=tree["disc_params"])
+                    disc = disc.replace(
+                        params=_merge(disc.params, tree["disc_params"],
+                                      "discriminator"))
                 self.state = self.state.replace(gen=gen, disc=disc)
             else:
-                self.state = self.state.replace(params=tree["params"])
+                self.state = self.state.replace(
+                    params=_merge(self.state.params, tree["params"],
+                                  "model"))
         if cfg.resume:
             self.load_checkpoint(cfg.resume)
 
@@ -142,36 +167,70 @@ class Trainer:
             if cfg.multistep_k > 1:
                 raise ValueError("multistep_k > 1 is not supported with "
                                  "gan_train (single-step adversarial loss)")
+            if cfg.scheduled_sampling > 0:
+                raise ValueError("scheduled_sampling is not supported with "
+                                 "gan_train (single-step adversarial loss)")
             from .gan import make_gan_train_step
             self._train_step = make_gan_train_step(
                 model_apply, self.disc.apply, hned_apply, self.combined,
                 cfg.gan_mode, cfg.w_l1, cfg.w_style, cfg.w_seg,
                 disc_batch_stats=(self.disc.norm == "batch"))
         elif cfg.multistep_k > 1:
+            if cfg.scheduled_sampling > 0:
+                raise ValueError("scheduled_sampling and multistep_k > 1 "
+                                 "are separate rollout-fidelity objectives; "
+                                 "pick one")
             from .multistep import make_multistep_train_step
             self._train_step = make_multistep_train_step(
                 model_apply, hned_apply, self.combined, cfg.multistep_k,
                 cfg.w_l1, cfg.w_style, cfg.w_seg,
-                remat_steps=cfg.multistep_remat)
+                remat_steps=cfg.multistep_remat,
+                discount=cfg.multistep_discount,
+                feedback_noise=cfg.multistep_feedback_noise)
+        elif cfg.scheduled_sampling > 0:
+            from .scheduled import make_scheduled_train_step, scheduled_p
+            _ss_step = make_scheduled_train_step(
+                model_apply, hned_apply, self.combined,
+                cfg.w_l1, cfg.w_style, cfg.w_seg)
+            self._ss_p = scheduled_p(0, cfg.scheduled_sampling,
+                                     cfg.scheduled_ramp)
+            # p rides along as a traced scalar: the ramp never recompiles
+            self._train_step = (lambda st, hp, b, rng: _ss_step(
+                st, hp, b, rng, jnp.float32(self._ss_p)))
         else:
             self._train_step = make_train_step(
                 model_apply, hned_apply, self.combined,
                 cfg.w_l1, cfg.w_style, cfg.w_seg)
         self._epoch_fn = None
-        if cfg.epoch_scan:
-            if not cfg.device_data or cfg.gan_train:
-                raise ValueError("epoch_scan requires device_data=True and "
-                                 "a non-GAN trainer")
+        self._chunk_fn = None
+        if cfg.epoch_scan or cfg.chunk_steps > 1:
+            if cfg.gan_train:
+                raise ValueError("epoch_scan / chunk_steps need a non-GAN "
+                                 "trainer (scan carries one TrainState)")
+            if cfg.scheduled_sampling > 0:
+                raise ValueError("scheduled_sampling is per-step only (its "
+                                 "p-ramp changes the program across epochs)")
             if cfg.multistep_k > 1:
                 from .multistep import make_multistep_train_step as _mk
                 raw = _mk(model_apply, hned_apply, self.combined,
                           cfg.multistep_k, cfg.w_l1, cfg.w_style, cfg.w_seg,
-                          remat_steps=cfg.multistep_remat, jit=False)
+                          remat_steps=cfg.multistep_remat, jit=False,
+                          discount=cfg.multistep_discount,
+                          feedback_noise=cfg.multistep_feedback_noise)
             else:
                 raw = make_train_step(model_apply, hned_apply, self.combined,
                                       cfg.w_l1, cfg.w_style, cfg.w_seg,
                                       jit=False)
             self._raw_step_for_scan = raw  # renderer attaches after loaders
+        if cfg.epoch_scan and not cfg.device_data:
+            raise ValueError("epoch_scan requires device_data=True "
+                             "(use chunk_steps for host-fed data)")
+        if cfg.chunk_steps > 1:
+            if cfg.device_data:
+                raise ValueError("chunk_steps is the host-fed executor; "
+                                 "device_data already has epoch_scan")
+            from .chunk_scan import make_chunk_scan
+            self._chunk_fn = make_chunk_scan(self._raw_step_for_scan)
         self._eval_step = make_eval_step(
             model_apply, hned_apply, self.combined.eval_variant(),
             cfg.w_l1, cfg.w_style, cfg.w_seg, n_classes=cfg.n_classes)
@@ -285,6 +344,10 @@ class Trainer:
         self.train_loader.set_epoch(epoch)
         self.val_loader.set_epoch(epoch)
         cfg = self.cfg
+        if cfg.scheduled_sampling > 0:
+            from .scheduled import scheduled_p
+            self._ss_p = scheduled_p(epoch, cfg.scheduled_sampling,
+                                     cfg.scheduled_ramp)
         lr = None
         # pix2pix scheduler policies (reference src/models/networks.py:38-64)
         if cfg.lr_policy == "linear":
@@ -320,6 +383,8 @@ class Trainer:
         cfg = self.cfg
         if self._epoch_fn is not None:
             return self._train_epoch_scan()
+        if self._chunk_fn is not None:
+            return self._train_chunked()
         timer = StepTimer()
         n_batches = len(self.train_loader)
         base_key = jax.random.key(cfg.seed)  # one device op per epoch
@@ -360,6 +425,51 @@ class Trainer:
         self.logger.debug("epoch drained at step %d"
                           % int(self.state.step if not self.cfg.gan_train
                                 else self.state.gen.step))
+
+    def _train_chunked(self):
+        """Host-fed chunked dispatch (train/chunk_scan.py): K batches per
+        upload, K steps per compiled program, one fetch per chunk — K-fold
+        fewer host round trips than the per-step loop, with the identical
+        fold_in RNG stream (tests/test_chunk_scan.py proves the trajectory
+        matches)."""
+        cfg = self.cfg
+        from .chunk_scan import (iter_chunks, put_batch, put_chunk,
+                                 stack_batches)
+        base_key = jax.random.key(cfg.seed)
+        k = cfg.chunk_steps
+        n_batches = len(self.train_loader)
+        done = 0
+        t0 = time.time()
+        for chunk in iter_chunks(self.train_loader.loader, k):
+            if len(chunk) == k:
+                dev = put_chunk(stack_batches(chunk), self.mesh)
+                self.state, losses = self._chunk_fn(
+                    self.state, self.hned_params, dev, base_key,
+                    jnp.int32(self.global_step))
+                self.global_step += k
+                losses = np.asarray(losses)  # fetch = chunk sync
+            else:
+                # tail shorter than K: reuse the per-step program instead of
+                # compiling a second scan shape
+                losses = []
+                for host_batch in chunk:
+                    b = put_batch(host_batch, self.mesh)
+                    self.global_step += 1
+                    rng = jax.random.fold_in(base_key, self.global_step)
+                    self.state, metrics = self._train_step(
+                        self.state, self.hned_params, b, rng)
+                    losses.append(float(metrics["loss"]))
+                losses = np.asarray(losses)
+            done += len(losses)
+            if is_primary():
+                wall = time.time() - t0
+                self.logger.info(
+                    "Epoch [%d/%d][%d/%d] chunked %.1f ms/step "
+                    "loss [%.4f]" % (self.epoch, cfg.epochs, done, n_batches,
+                                     wall * 1e3 / max(done, 1),
+                                     float(losses.mean())))
+                self.writer.add_scalar("train/loss", float(losses.mean()),
+                                       self.global_step)
 
     def _train_epoch_scan(self):
         """Whole epoch in one compiled scan (train/epoch_scan.py): one
