@@ -9,7 +9,12 @@ rendezvous (reference src/main.py:53-54). The pytest driver
 (tests/test_multiprocess_real.py) launches N of these and asserts the
 training trajectory and validation metrics are process-count invariant.
 
-  python tests/_mp_worker.py <pid> <nproc> <port> <out.json>
+  python tests/_mp_worker.py <pid> <nproc> <port> <out.json> [family]
+
+``family`` selects the step family under the live process group:
+  plain (default)  single-step reference objective (train/steps.py)
+  multistep        K=2 BPTT window objective (train/multistep.py)
+  gan              fused G/D adversarial step (train/gan.py)
 
 Env: XLA_FLAGS must force 2 host devices (the driver sets it).
 """
@@ -24,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
                              sys.argv[3], sys.argv[4])
+    family = sys.argv[5] if len(sys.argv) > 5 else "plain"
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
@@ -54,20 +60,49 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0),
                                  jnp.zeros((1, hw, hw, 8)))
     state = TrainState.create(params, make_optimizer("adam", 2e-4, 0.5))
-    step = make_train_step(model.apply, None, combined, donate=False)
+    if family == "plain":
+        step = make_train_step(model.apply, None, combined, donate=False)
+        n_frames = 3
+    elif family == "multistep":
+        from video_layout_generation_tpu.train.multistep import \
+            make_multistep_train_step
+        step = make_multistep_train_step(model.apply, None, combined, k=2,
+                                         donate=False)
+        n_frames = 4
+    elif family == "gan":
+        from video_layout_generation_tpu.models.discriminators import \
+            PixelDiscriminator
+        from video_layout_generation_tpu.train.gan import (GanTrainState,
+                                                           make_gan_train_step)
+        disc = PixelDiscriminator(input_nc=9, ndf=8, norm="instance")
+        d_params = jax.jit(disc.init)(jax.random.key(1),
+                                      jnp.zeros((1, hw, hw, 9)))
+        state = GanTrainState(
+            gen=state,
+            disc=TrainState.create(d_params,
+                                   make_optimizer("adam", 2e-4, 0.5)))
+        step = make_gan_train_step(model.apply, disc.apply, None, combined,
+                                   "lsgan", donate=False)
+        n_frames = 3
+    else:
+        raise SystemExit(f"unknown family {family!r}")
     eval_step = make_eval_step(model.apply, None, combined.eval_variant(),
                                n_classes=20)
 
     mesh = make_mesh()  # all GLOBAL devices on the 'data' axis
-    ds = SyntheticTriplets(16, (hw, hw), 20)
+    ds = SyntheticTriplets(16, (hw, hw), 20, n_frames=n_frames)
+    val_ds = SyntheticTriplets(16, (hw, hw), 20)
     # global batch 8 == local 8/nproc per process (reference bs//gpus split,
     # src/trainer.py:148)
     train_loader = ShardedLoader(
         HostLoader(ds, 8 // nproc, seed=3, workers=1,
                    process_index=pid, process_count=nproc), mesh)
     val_loader = ShardedLoader(
-        HostLoader(ds, 8 // nproc, shuffle=False, workers=1,
+        HostLoader(val_ds, 8 // nproc, shuffle=False, workers=1,
                    process_index=pid, process_count=nproc), mesh)
+
+    def gen_params(st):
+        return st.gen.params if family == "gan" else st.params
 
     losses = []
     with jax.set_mesh(mesh):
@@ -80,8 +115,10 @@ def main():
         key0 = jax.random.fold_in(jax.random.key(42), 0)
         step_x = compile_then_barrier(step, state, None, first, key0,
                                       name="train_step_compiled")
-        eval_x = compile_then_barrier(eval_step, state.params, None, first,
-                                      name="eval_step_compiled")
+        val_loader.set_epoch(0)
+        first_val = next(iter(val_loader))
+        eval_x = compile_then_barrier(eval_step, gen_params(state), None,
+                                      first_val, name="eval_step_compiled")
 
         for epoch in range(2):
             train_loader.set_epoch(epoch)
@@ -95,14 +132,15 @@ def main():
         # jitted eval step over the global batch and come back replicated
         loss_sum, n, cm_total = 0.0, 0, np.zeros((20, 20))
         for batch in val_loader:
-            m, _, _ = eval_x(state.params, None, batch)
+            m, _, _ = eval_x(gen_params(state), None, batch)
             bs = next(iter(jax.tree_util.tree_leaves(batch))).shape[0]
             loss_sum += float(m["loss"]) * bs
             n += bs
             cm_total = cm_total + np.asarray(m["cm"])
 
     param_sum = float(sum(jnp.sum(jnp.abs(p)).astype(jnp.float64)
-                          for p in jax.tree_util.tree_leaves(state.params)))
+                          for p in jax.tree_util.tree_leaves(
+                              gen_params(state))))
     result = {"pid": pid, "nproc": nproc, "primary": is_primary(),
               "losses": losses, "val_loss": loss_sum / n,
               "cm_trace": float(np.trace(cm_total)),

@@ -32,14 +32,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_group(nproc: int, tmpdir) -> list:
+def _run_group(nproc: int, tmpdir, family: str = "plain") -> list:
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    outs = [os.path.join(str(tmpdir), f"p{i}_of_{nproc}.json")
+    outs = [os.path.join(str(tmpdir), f"{family}_p{i}_of_{nproc}.json")
             for i in range(nproc)]
     procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(i), str(nproc), str(port), outs[i]],
+        [sys.executable, _WORKER, str(i), str(nproc), str(port), outs[i],
+         family],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for i in range(nproc)]
     logs = []
@@ -60,6 +61,21 @@ def _run_group(nproc: int, tmpdir) -> list:
 def test_two_process_group_matches_single_process(tmp_path):
     two = _run_group(2, tmp_path)
     one = _run_group(1, tmp_path)
+    _assert_invariant(two, one)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family", ["multistep", "gan"])
+def test_two_process_group_other_step_families(tmp_path, family):
+    """VERDICT r2 #8: the live Gloo group must be process-count invariant
+    for the GAN (fused G/D, two optimizers) and multistep (K-step scan BPTT)
+    step families too, not just the plain single-step path."""
+    two = _run_group(2, tmp_path, family)
+    one = _run_group(1, tmp_path, family)
+    _assert_invariant(two, one)
+
+
+def _assert_invariant(two, one):
 
     # replicated reductions: both members of the group see identical scalars
     assert two[0]["losses"] == two[1]["losses"]

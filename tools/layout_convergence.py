@@ -45,6 +45,17 @@ def main(argv=None):
                         "full posterior collapse (kl -> 0, constant "
                         "majority-class output) on the synthetic scenes")
     p.add_argument("--kl_warmup", type=int, default=500)
+    p.add_argument("--free_bits", type=float, default=0.0,
+                   help="per-dim KL floor (vae family; losses/vae.py)")
+    p.add_argument("--kl_cycle", type=int, default=0,
+                   help="cyclical beta annealing period in steps (0 = "
+                        "linear warmup)")
+    p.add_argument("--capacity_max", type=float, default=0.0,
+                   help="Burgess capacity target C_max in nats (0 = off)")
+    p.add_argument("--capacity_steps", type=int, default=1000)
+    p.add_argument("--bg_weight", type=float, default=1.0,
+                   help="recon-CE weight for class 0 (vae family; < 1 "
+                        "rebalances the ~88%%-background gradient)")
     p.add_argument("--rollout_frames", type=int, default=8,
                    help="autoregressive steps for the fidelity eval (and "
                         "the CVAE prior-sample scan length)")
@@ -76,7 +87,12 @@ def main(argv=None):
         t = LayoutTrainer(cfg, family=family,
                           latent_dim=args.latent, hidden=args.hidden,
                           kl_warmup_steps=args.kl_warmup,
-                          beta_max=args.beta_max)
+                          beta_max=args.beta_max,
+                          free_bits=args.free_bits,
+                          kl_cycle_steps=args.kl_cycle,
+                          capacity_max=args.capacity_max,
+                          capacity_steps=args.capacity_steps,
+                          bg_weight=args.bg_weight)
         rows = []
         t0 = time.time()
         for epoch in range(args.epochs):

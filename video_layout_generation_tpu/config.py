@@ -57,6 +57,10 @@ class Config:
     optimizer: str = "adam"             # 'adam' | 'adamax' | 'sgd'
     lr: float = 2e-4
     beta1: float = 0.5
+    adam_mu_dtype: str = "float32"      # 'bfloat16': store Adam's first
+                                        # moment reduced (train/state.py) —
+                                        # halves m-buffer HBM traffic,
+                                        # opt-in (changes numerics)
     lr_decay_step: int = 5              # epochs between decays (sgd)
     lr_decay_gamma: float = 0.1
     start_epoch: int = 1
@@ -201,6 +205,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["adamax", "adam", "sgd"])
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--adam_mu_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of Adam's first moment")
     p.add_argument("--lr_decay_step", type=int, default=5)
     p.add_argument("--lr_decay_gamma", type=float, default=0.1)
     p.add_argument("--lr_policy", type=str, default=None,

@@ -34,11 +34,23 @@ class LayoutTrainer:
     def __init__(self, cfg: Config, family: str = "cvae",
                  latent_dim: int = 32, hidden: int = 64,
                  kl_warmup_steps: int = 500, beta_max: float = 1.0,
-                 dataset_train=None, dataset_val=None):
+                 dataset_train=None, dataset_val=None,
+                 free_bits: float = 0.0, kl_cycle_steps: int = 0,
+                 capacity_max: float = 0.0, capacity_steps: int = 1000,
+                 bg_weight: float = 1.0):
+        """Posterior-collapse remedies (vae family only, all default-off;
+        losses/vae.py docstring): ``free_bits`` per-dim KL floor,
+        ``kl_cycle_steps`` cyclical beta annealing, ``capacity_max``/
+        ``capacity_steps`` the Burgess capacity objective, ``bg_weight``
+        down-weights class 0 in the recon CE (balanced gradient for the
+        ~12% minority-class pixels)."""
         self.cfg = cfg
         self.family = family
         self.kl_warmup = kl_warmup_steps
         self.beta_max = beta_max
+        self.kl_cycle_steps = kl_cycle_steps
+        self.capacity_max = capacity_max
+        self.capacity_steps = capacity_steps
         if cfg.path:
             os.makedirs(cfg.path, exist_ok=True)
         self.logger = get_logger(
@@ -54,7 +66,12 @@ class LayoutTrainer:
             self.model = LayoutVAE(n_cls, latent_dim, dtype=dtype)
             params = jax.jit(self.model.init)(
                 rng, jnp.zeros((1, h, w, n_cls)), jax.random.key(1))
-            self._step = make_vae_train_step(self.model, n_cls)
+            cw = None
+            if bg_weight != 1.0:
+                cw = [bg_weight] + [1.0] * (n_cls - 1)
+            self._step = make_vae_train_step(
+                self.model, n_cls, free_bits=free_bits,
+                use_capacity=capacity_max > 0.0, class_weights=cw)
         elif family == "cvae":
             self.model = LayoutCVAE(n_cls, latent_dim, dtype=dtype)
             params = jax.jit(self.model.init)(
@@ -136,10 +153,16 @@ class LayoutTrainer:
             rng = jax.random.fold_in(jax.random.key(self.cfg.seed),
                                      self.global_step)
             beta = kl_anneal(self.global_step, self.kl_warmup,
-                             self.beta_max)
+                             self.beta_max, self.kl_cycle_steps)
             if self.family == "vae":
-                self.state, metrics = self._step(
-                    self.state, batch["seg3"].astype(jnp.int32), rng, beta)
+                args = (self.state, batch["seg3"].astype(jnp.int32), rng,
+                        beta)
+                if self.capacity_max > 0.0:
+                    from .vae_steps import capacity_schedule
+                    args = args + (capacity_schedule(
+                        self.global_step, self.capacity_max,
+                        self.capacity_steps),)
+                self.state, metrics = self._step(*args)
             elif self.family == "cvae":
                 ctx, tgt = self._ctx_target(batch)
                 self.state, metrics = self._step(self.state, ctx, tgt, rng,

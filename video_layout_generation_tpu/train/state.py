@@ -38,10 +38,17 @@ class TrainState:
 
 
 def make_optimizer(optimizer: str = "adam", lr: float = 2e-4,
-                   beta1: float = 0.5) -> optax.GradientTransformation:
+                   beta1: float = 0.5,
+                   moment_dtype=None) -> optax.GradientTransformation:
+    """``moment_dtype`` (e.g. jnp.bfloat16) stores Adam's FIRST moment in
+    reduced precision (optax mu_dtype) — halves the m-buffer HBM traffic in
+    the update. The second moment stays fp32 (optax does not expose its
+    dtype, and v's long-horizon accumulation is the precision-sensitive
+    half). Opt-in; default is exact fp32."""
     if optimizer == "adam":
         base = lambda learning_rate: optax.adam(learning_rate, b1=beta1,
-                                                b2=0.999)
+                                                b2=0.999,
+                                                mu_dtype=moment_dtype)
     elif optimizer == "adamax":
         base = lambda learning_rate: optax.adamax(learning_rate, b1=beta1,
                                                   b2=0.999)

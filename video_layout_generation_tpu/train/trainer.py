@@ -93,7 +93,9 @@ class Trainer:
                                             image_hw=cfg.image_size)
 
         # --- optimizer / state ------------------------------------------
-        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.beta1)
+        mu_dt = (jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None)
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.beta1,
+                            moment_dtype=mu_dt)
         gen_state = TrainState.create(self.params, tx)
         if cfg.gan_train:
             from .gan import GanTrainState

@@ -17,25 +17,53 @@ from .state import TrainState
 
 
 def kl_anneal(step: int, warmup_steps: int = 1000,
-              beta_max: float = 1.0) -> float:
-    """Linear KL warmup: 0 -> beta_max over warmup_steps."""
+              beta_max: float = 1.0, cycle_steps: int = 0) -> float:
+    """Linear KL warmup: 0 -> beta_max over warmup_steps.
+
+    ``cycle_steps > 0`` switches to CYCLICAL annealing (Fu et al. 2019):
+    each cycle ramps 0 -> beta_max over its first half then holds —
+    periodically re-opening the latent channel so a collapsed posterior
+    gets fresh low-beta epochs to become informative again."""
+    if cycle_steps > 0:
+        phase = (step % cycle_steps) / cycle_steps
+        return beta_max * min(1.0, 2.0 * phase)
     return beta_max * min(1.0, step / max(warmup_steps, 1))
 
 
-def make_vae_train_step(model, n_classes: int = 20, donate: bool = True):
-    """step(state, seg_ids (N,H,W), rng, beta) -> (state, metrics)."""
+def capacity_schedule(step: int, c_max: float,
+                      c_steps: int = 1000) -> float:
+    """Linear KL capacity target 0 -> c_max nats over c_steps (Burgess et
+    al. 2018); feed as ``capacity`` to the VAE step."""
+    return c_max * min(1.0, step / max(c_steps, 1))
 
-    def step_fn(state: TrainState, seg_ids, rng, beta):
+
+def make_vae_train_step(model, n_classes: int = 20, donate: bool = True,
+                        free_bits: float = 0.0, use_capacity: bool = False,
+                        class_weights=None):
+    """step(state, seg_ids (N,H,W), rng, beta[, capacity]) ->
+    (state, metrics). Collapse remedies (losses/vae.py docstring) are
+    static step-construction options; beta and the capacity target are
+    traced scalars (no recompile across the schedule)."""
+    if class_weights is not None:
+        class_weights = jnp.asarray(class_weights, jnp.float32)
+
+    def step_fn(state: TrainState, seg_ids, rng, beta, capacity=None):
         onehot = jax.nn.one_hot(seg_ids.astype(jnp.int32), n_classes)
 
         def loss_fn(params):
             logits, mu, logvar = model.apply(params, onehot, rng)
-            return vae_loss(logits, seg_ids, mu, logvar, beta)
+            return vae_loss(logits, seg_ids, mu, logvar, beta,
+                            free_bits=free_bits, capacity=capacity,
+                            class_weights=class_weights)
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads), metrics
 
+    if not use_capacity:
+        base = step_fn
+        step_fn = lambda state, seg_ids, rng, beta: base(
+            state, seg_ids, rng, beta)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
