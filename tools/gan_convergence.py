@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--path", default="/tmp/vlg_gan_convergence")
     p.add_argument("--hed_weights", default=None)
     p.add_argument("--vgg_weights", default=None)
+    p.add_argument("--no_gan", dest="gan", action="store_false",
+                   help="matched-compute control: identical run with the "
+                        "adversarial term off (VERDICT r2 #7 — does the GAN "
+                        "term help or harm val mIoU?)")
     args = p.parse_args(argv)
 
     import jax
@@ -47,7 +51,7 @@ def main(argv=None):
                  synthetic_val_size=args.val_size,
                  image_size=(args.size, args.size), batch_size=args.bs,
                  epochs=args.epochs, edge=True, arch="GridNet",
-                 gan_train=True, gan_mode=args.gan_mode, netD=args.netD,
+                 gan_train=args.gan, gan_mode=args.gan_mode, netD=args.netD,
                  norm=args.norm, compute_dtype="bfloat16", workers=4,
                  print_freq=8, path=args.path, mesh_shape=(1,),
                  hed_weights=args.hed_weights, vgg_weights=args.vgg_weights)
@@ -75,22 +79,30 @@ def main(argv=None):
         row = {k: sums[k] / n for k in sums}
         row.update(val_loss=float(val["loss"]), miou=float(val["miou"]))
         rows.append(row)
-        print(f"epoch {epoch + 1:2d}: G {row['loss']:.2f} "
-              f"(gan {row['loss_gan']:.3f} l1 {row['loss_l1']:.2f} "
-              f"style {row['loss_style']:.2f} seg {row['loss_seg']:.2f}) "
-              f"D {row['loss_d']:.4f} "
-              f"(fake {row['loss_d_fake']:.4f} real {row['loss_d_real']:.4f}) "
-              f"val {row['val_loss']:.2f} mIoU {row['miou']:.3f}",
-              flush=True)
+        if args.gan:
+            print(f"epoch {epoch + 1:2d}: G {row['loss']:.2f} "
+                  f"(gan {row['loss_gan']:.3f} l1 {row['loss_l1']:.2f} "
+                  f"style {row['loss_style']:.2f} seg {row['loss_seg']:.2f}) "
+                  f"D {row['loss_d']:.4f} "
+                  f"(fake {row['loss_d_fake']:.4f} "
+                  f"real {row['loss_d_real']:.4f}) "
+                  f"val {row['val_loss']:.2f} mIoU {row['miou']:.3f}",
+                  flush=True)
+        else:
+            print(f"epoch {epoch + 1:2d}: loss {row['loss']:.2f} "
+                  f"val {row['val_loss']:.2f} mIoU {row['miou']:.3f}",
+                  flush=True)
     t.save_checkpoint()
 
-    d = [r["loss_d"] for r in rows]
-    g = [r["loss_gan"] for r in rows]
-    print(f"D loss range over run: [{min(d):.4f}, {max(d):.4f}]; "
-          f"G adv range: [{min(g):.4f}, {max(g):.4f}]")
-    print(f"recon (l1+style+seg) first->last: "
-          f"{rows[0]['loss'] - rows[0]['loss_gan']:.2f} -> "
-          f"{rows[-1]['loss'] - rows[-1]['loss_gan']:.2f}")
+    if args.gan:
+        d = [r["loss_d"] for r in rows]
+        g = [r["loss_gan"] for r in rows]
+        print(f"D loss range over run: [{min(d):.4f}, {max(d):.4f}]; "
+              f"G adv range: [{min(g):.4f}, {max(g):.4f}]")
+        print(f"recon (l1+style+seg) first->last: "
+              f"{rows[0]['loss'] - rows[0]['loss_gan']:.2f} -> "
+              f"{rows[-1]['loss'] - rows[-1]['loss_gan']:.2f}")
+    print("PER-EPOCH mIoU:", [round(r["miou"], 4) for r in rows])
     return rows
 
 

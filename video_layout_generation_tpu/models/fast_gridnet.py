@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.packed import (conv_packed3x3, conv_packed3x3_dense,
-                          conv_packed_stride2, pack2x2, pack_kernel3x3,
+                          conv_packed3x3_insplit, conv_packed_stride2,
+                          pack2x2, pack_kernel3x3, pack_kernel3x3_insplit,
                           pack_kernel3x3_stride2, packed_upsample2x_align,
                           unpack2x2)
 from ..ops.resize import upsample2x_bilinear_align
@@ -100,6 +101,43 @@ def _fused_lateral_on() -> bool:
             and jax.default_backend() in ("tpu", "axon"))
 
 
+def _insplit_mode() -> str:
+    """Input-phase-split packed convs (ops/packed.pack_kernel3x3_insplit):
+    1.78x logical FLOPs vs the one-shot dense (3,3,4C,4Co) form's 4x, full
+    128 output lanes. OPT-IN while being A/B'd on hardware (exactness:
+    tests/test_packed_insplit.py). VLG_PACKED_INSPLIT: "1" = four summed
+    (2,2,C,4Co) convs; "concat" = shifted-concat input + ONE (2,2,4C,4Co)
+    VALID conv (same FLOPs, no partial-sum HBM traffic); "0"/unset =
+    dense."""
+    import os
+    mode = os.environ.get("VLG_PACKED_INSPLIT", "0")
+    if mode not in ("0", "1", "concat"):
+        raise ValueError(f"VLG_PACKED_INSPLIT must be '0', '1' or "
+                         f"'concat', got {mode!r}")
+    return mode
+
+
+def _insplit_on() -> bool:
+    return _insplit_mode() != "0"
+
+
+def _pconv3x3(x, w_logical, bias, dt):
+    """Stride-1 packed conv from the LOGICAL (3,3,Ci,Co) kernel — dispatch
+    point for the dense / input-phase-split XLA forms (Pallas variants keep
+    their own pre-packed branches above their call sites)."""
+    mode = _insplit_mode()
+    if mode == "1":
+        ks = [(k.astype(dt), pad)
+              for k, pad in pack_kernel3x3_insplit(w_logical)]
+        return conv_packed3x3_insplit(x, ks, bias)
+    if mode == "concat":
+        from ..ops.packed import (conv_packed3x3_insplit_concat,
+                                  pack_kernel3x3_insplit_concat)
+        return conv_packed3x3_insplit_concat(
+            x, pack_kernel3x3_insplit_concat(w_logical).astype(dt), bias)
+    return conv_packed3x3(x, pack_kernel3x3(w_logical).astype(dt), bias)
+
+
 def _lateral_packed(p, xp, residual=None):
     """LateralBlock in packed row-0 space. ``residual`` (packed, output
     shape) is the grid-fusion addend — fused into the final conv's f32
@@ -133,13 +171,12 @@ def _lateral_packed(p, xp, residual=None):
         return prelu_conv_packed3x3_res(y, w1, p["Conv_1"]["bias"],
                                         p["PReLU_1"]["alpha"], s)
     y = _prelu(xp, p["PReLU_0"]["alpha"])
-    y = conv_packed3x3(y, w0, p["Conv_0"]["bias"])
+    y = _pconv3x3(y, p["Conv_0"]["kernel"], p["Conv_0"]["bias"], dt)
     y = _prelu(y, p["PReLU_1"]["alpha"])
-    y = conv_packed3x3(y, w1, p["Conv_1"]["bias"])
+    y = _pconv3x3(y, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], dt)
     if "Conv_2" in p:
-        y = y + conv_packed3x3(
-            xp, pack_kernel3x3(p["Conv_2"]["kernel"]).astype(dt),
-            p["Conv_2"]["bias"])
+        y = y + _pconv3x3(xp, p["Conv_2"]["kernel"], p["Conv_2"]["bias"],
+                          dt)
     if residual is not None:
         y = y + residual
     return y
@@ -220,6 +257,10 @@ def _up_to_packed(p, x, mode: str = "bilinear"):
         return prelu_conv_packed3x3(y, w1, p["Conv_1"]["bias"],
                                     p["PReLU_1"]["alpha"])
     y = _prelu(y, p["PReLU_0"]["alpha"])
+    if _insplit_on():
+        y = _pconv3x3(y, p["Conv_0"]["kernel"], p["Conv_0"]["bias"], dt)
+        y = _prelu(y, p["PReLU_1"]["alpha"])
+        return _pconv3x3(y, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], dt)
     y = conv_packed3x3_dense(y, w0, p["Conv_0"]["bias"])
     y = _prelu(y, p["PReLU_1"]["alpha"])
     return conv_packed3x3_dense(y, w1, p["Conv_1"]["bias"])
@@ -249,10 +290,9 @@ def _coord_lateral_packed(p, xp, cp):
     ci = xp.shape[-1] // 4
 
     def cconv(name, z, zc):
-        w = p[name]["Conv_0"]["kernel"]
-        return conv_packed3x3(
-            _concat_packed(z, cp, zc, 2),
-            pack_kernel3x3(w).astype(dt), p[name]["Conv_0"]["bias"])
+        return _pconv3x3(_concat_packed(z, cp, zc, 2),
+                         p[name]["Conv_0"]["kernel"],
+                         p[name]["Conv_0"]["bias"], dt)
 
     y = cconv("CoordConv_0", xp, ci)
     y = _prelu(y, p["PReLU_0"]["alpha"])

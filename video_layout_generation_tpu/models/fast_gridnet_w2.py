@@ -27,16 +27,30 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.packed import (conv_packed1x2_dense, conv_packed1x2_stride2,
-                          pack1x2, pack_kernel3x3_1x2,
+from ..ops.packed import (conv_packed1x2_dense, conv_packed1x2_insplit,
+                          conv_packed1x2_stride2, pack1x2,
+                          pack_kernel3x3_1x2, pack_kernel3x3_1x2_insplit,
                           pack_kernel3x3_1x2_stride2, unpack1x2)
 from ..ops.resize import upsample2x_align_to_1x2
-from .fast_gridnet import _down_std, _lateral_std, _prelu, _up_std
+from .fast_gridnet import (_down_std, _insplit_mode, _lateral_std, _prelu,
+                           _up_std)
 
 Dtype = Any
 
 
 def _conv_w2(xw, wl, b):
+    # input-phase split: 1.33x logical FLOPs vs dense 2x, same lanes
+    # (ops/packed.pack_kernel3x3_1x2_insplit; VLG_PACKED_INSPLIT=1|concat)
+    mode = _insplit_mode()
+    if mode == "1":
+        ks = [(k.astype(xw.dtype), pd)
+              for k, pd in pack_kernel3x3_1x2_insplit(wl)]
+        return conv_packed1x2_insplit(xw, ks, b)
+    if mode == "concat":
+        from ..ops.packed import (conv_packed1x2_insplit_concat,
+                                  pack_kernel3x3_1x2_insplit_concat)
+        return conv_packed1x2_insplit_concat(
+            xw, pack_kernel3x3_1x2_insplit_concat(wl).astype(xw.dtype), b)
     return conv_packed1x2_dense(xw, pack_kernel3x3_1x2(wl).astype(xw.dtype),
                                 b)
 

@@ -113,6 +113,146 @@ def pack_kernel3x3_stride2(w: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def pack_kernel3x3_insplit(w: jnp.ndarray):
+    """Input-phase-split decomposition of the packed stride-1 conv.
+
+    The one-shot packed kernel (pack_kernel3x3) is (3,3,4Ci,4Co): 36·Ci·Co
+    MACs per logical output pixel against the true 9·Ci·Co — 4x structural
+    FLOP inflation (the 3x3 packed support is the UNION of the four output
+    phases' 2x2 supports). Splitting by OUTPUT phase removes the zeros but
+    lands at Co=32 output lanes (~1/4 MXU utilization — round-2 negative).
+
+    Splitting by INPUT phase d=(dy,dx) instead keeps full lanes: for a fixed
+    input phase, the stride-1 tap identity k = 2q+1+d-e gives each axis at
+    most TWO valid shifts q (d=0 -> q in {0,1}; d=1 -> q in {-1,0}), so each
+    input phase contributes a dense-support (2,2,Ci,4Co) kernel carrying
+    exactly its 9 redistributed logical taps. Four such convs (summed) do
+    16·Ci·Co MACs per output pixel — 1.78x instead of 4x — with 4Co=128
+    output lanes and a 2·2·Ci=128 contraction at Ci=32.
+
+    Returns [(kernel (2,2,Ci,4Co), ((py_lo,py_hi),(px_lo,px_hi))), ...] in
+    phase-major input order; apply with ``conv_packed3x3_insplit``.
+    """
+    _, _, ci, co = w.shape
+    w_np = np.asarray(w, np.float32)
+    out = []
+    for dy in (0, 1):
+        qys = (0, 1) if dy == 0 else (-1, 0)
+        for dx in (0, 1):
+            qxs = (0, 1) if dx == 0 else (-1, 0)
+            k = np.zeros((2, 2, ci, 4 * co), np.float32)
+            for ey in (0, 1):
+                for qy in qys:
+                    ky = 2 * qy + 1 + dy - ey
+                    if not 0 <= ky <= 2:
+                        continue
+                    for ex in (0, 1):
+                        for qx in qxs:
+                            kx = 2 * qx + 1 + dx - ex
+                            if not 0 <= kx <= 2:
+                                continue
+                            oc = (ey * 2 + ex) * co
+                            k[qy - qys[0], qx - qxs[0], :,
+                              oc:oc + co] = w_np[ky, kx]
+            # out[p] = sum_k x[p + k - pad_lo] w[k]; we need x[p + q],
+            # q = k + qys[0]  ->  pad_lo = -qys[0], pad_hi = 1 + qys[0]
+            pad = (((0, 1) if dy == 0 else (1, 0)),
+                   ((0, 1) if dx == 0 else (1, 0)))
+            out.append((jnp.asarray(k, w.dtype), pad))
+    return out
+
+
+def conv_packed3x3_insplit(x: jnp.ndarray, kernels,
+                           bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Sum of four input-phase convs (pack_kernel3x3_insplit); exact
+    packed-space stride-1 conv at 1.78x logical FLOPs (vs dense 4x)."""
+    c = x.shape[-1] // 4
+    y = None
+    for d, (k, pad) in enumerate(kernels):
+        yi = jax.lax.conv_general_dilated(
+            x[..., d * c:(d + 1) * c], k.astype(x.dtype), (1, 1), list(pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+        y = yi if y is None else y + yi
+    if bias is not None:
+        y = y + jnp.tile(bias, 4).astype(y.dtype)
+    return y
+
+
+def pack_kernel3x3_insplit_concat(w: jnp.ndarray) -> jnp.ndarray:
+    """Single-conv realization of the input-phase split: the four
+    (2,2,Ci,4Co) phase kernels stacked on the input-channel axis into ONE
+    (2,2,4Ci,4Co) kernel, applied VALID to the shifted-concat input built
+    by ``insplit_concat_input`` — same 1.78x logical FLOPs as the summed
+    form but one conv and no partial-sum HBM traffic (the shifted concat
+    is one fused pad+concat materialization instead)."""
+    ks = pack_kernel3x3_insplit(w)
+    return jnp.concatenate([k for k, _ in ks], axis=2)
+
+
+def insplit_concat_input(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,4C) packed input -> (B,H+1,W+1,4C) where each input phase
+    d=(dy,dx) is shifted so its two valid taps align to a common VALID
+    (2,2) window: z_d[i] = x_d[i + q0_d] with q0 = 0 for d=0 (pad after)
+    and -1 for d=1 (pad before), per axis."""
+    c = x.shape[-1] // 4
+    groups = []
+    for dy in (0, 1):
+        py = (0, 1) if dy == 0 else (1, 0)
+        for dx in (0, 1):
+            px = (0, 1) if dx == 0 else (1, 0)
+            d = dy * 2 + dx
+            groups.append(jnp.pad(x[..., d * c:(d + 1) * c],
+                                  ((0, 0), py, px, (0, 0))))
+    return jnp.concatenate(groups, axis=-1)
+
+
+def conv_packed3x3_insplit_concat(x: jnp.ndarray, w_ic: jnp.ndarray,
+                                  bias: jnp.ndarray | None = None
+                                  ) -> jnp.ndarray:
+    """Exact packed stride-1 conv: shifted-concat input + one VALID (2,2)
+    conv (pack_kernel3x3_insplit_concat)."""
+    z = insplit_concat_input(x)
+    y = jax.lax.conv_general_dilated(
+        z, w_ic.astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, 4).astype(y.dtype)
+    return y
+
+
+def pack_kernel3x3_1x2_insplit_concat(w: jnp.ndarray) -> jnp.ndarray:
+    """1x2 analog of pack_kernel3x3_insplit_concat: ONE (3,2,2Ci,2Co)
+    kernel over the column-shifted concat input (1.33x logical FLOPs)."""
+    ks = pack_kernel3x3_1x2_insplit(w)
+    return jnp.concatenate([k for k, _ in ks], axis=2)
+
+
+def insplit_concat_input_1x2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,2C) width-packed input -> (B,H,W+1,2C) with the two column
+    phases shifted to a common VALID 2-tap column window."""
+    c = x.shape[-1] // 2
+    return jnp.concatenate(
+        [jnp.pad(x[..., :c], ((0, 0), (0, 0), (0, 1), (0, 0))),
+         jnp.pad(x[..., c:], ((0, 0), (0, 0), (1, 0), (0, 0)))], axis=-1)
+
+
+def conv_packed1x2_insplit_concat(x: jnp.ndarray, w_ic: jnp.ndarray,
+                                  bias: jnp.ndarray | None = None
+                                  ) -> jnp.ndarray:
+    """Exact width-packed stride-1 conv: column-shifted concat + one
+    (3,2) conv, SAME rows / VALID cols."""
+    z = insplit_concat_input_1x2(x)
+    y = jax.lax.conv_general_dilated(
+        z, w_ic.astype(x.dtype), (1, 1), [(1, 1), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, 2).astype(y.dtype)
+    return y
+
+
 def _use_sparse_kernel(c4in: int, c4out: int) -> bool:
     """Dispatch the block-sparse Pallas kernel (ops/pallas/conv_packed.py)
     for lane-aligned packed channel counts. OPT-IN via VLG_PACKED_SPARSE=1:
@@ -306,6 +446,52 @@ def _w2_bwd(res, g):
 
 
 conv3x3_w2.defvjp(_w2_fwd, _w2_bwd)
+
+
+def pack_kernel3x3_1x2_insplit(w: jnp.ndarray):
+    """Input-phase split of the width-packed stride-1 conv: two
+    (3,2,Ci,2Co) kernels (one per input column phase dx, each carrying its
+    9 redistributed logical taps), summed — 12·Ci·Co MACs per output pixel
+    vs the dense (3,3,2Ci,2Co) form's 18 (1.33x vs 2x inflation) at the
+    same 2Co output lanes. See pack_kernel3x3_insplit for the derivation.
+
+    Returns [(kernel, ((1,1),(px_lo,px_hi))), ...] in dx order; apply with
+    ``conv_packed1x2_insplit``.
+    """
+    _, _, ci, co = w.shape
+    w_np = np.asarray(w, np.float32)
+    out = []
+    for dx in (0, 1):
+        qxs = (0, 1) if dx == 0 else (-1, 0)
+        k = np.zeros((3, 2, ci, 2 * co), np.float32)
+        for ky in range(3):
+            for ex in (0, 1):
+                for qx in qxs:
+                    kx = 2 * qx + 1 + dx - ex
+                    if not 0 <= kx <= 2:
+                        continue
+                    k[ky, qx - qxs[0], :, ex * co:(ex + 1) * co] = \
+                        w_np[ky, kx]
+        pad = ((1, 1), (0, 1) if dx == 0 else (1, 0))
+        out.append((jnp.asarray(k, w.dtype), pad))
+    return out
+
+
+def conv_packed1x2_insplit(x: jnp.ndarray, kernels,
+                           bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Sum of two input-phase convs (pack_kernel3x3_1x2_insplit); exact
+    width-packed stride-1 conv at 1.33x logical FLOPs (vs dense 2x)."""
+    c = x.shape[-1] // 2
+    y = None
+    for d, (k, pad) in enumerate(kernels):
+        yi = jax.lax.conv_general_dilated(
+            x[..., d * c:(d + 1) * c], k.astype(x.dtype), (1, 1), list(pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+        y = yi if y is None else y + yi
+    if bias is not None:
+        y = y + jnp.tile(bias, 2).astype(y.dtype)
+    return y
 
 
 def pack_kernel3x3_1x2_stride2(w: jnp.ndarray) -> jnp.ndarray:
