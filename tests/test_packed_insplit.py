@@ -123,6 +123,21 @@ def test_insplit_tap_budget():
     assert total == 4 * 9  # 9 logical taps per input phase
 
 
+@pytest.mark.parametrize("packer", ["3x3", "1x2"])
+def test_insplit_packers_jit_traceable(packer):
+    """The packers must build kernels with traceable ops: eager packing of
+    concrete params AND packing inside an enclosing jit (e.g. a jitted
+    rollout wrapper re-packs per call) must both work and agree."""
+    rng = np.random.default_rng(8)
+    w = _int(rng, (3, 3, 8, 16), -3, 4)
+    pack = (pack_kernel3x3_insplit if packer == "3x3"
+            else pack_kernel3x3_1x2_insplit)
+    eager = pack(w)
+    jitted = jax.jit(lambda v: [k for k, _ in pack(v)])(w)
+    for (ke, _), kj in zip(eager, jitted):
+        assert float(jnp.max(jnp.abs(ke - kj))) == 0.0
+
+
 def test_executor_insplit_dispatch_exact(monkeypatch):
     """make_packed_gridnet_apply under VLG_PACKED_INSPLIT=1 matches the
     default executor bit-for-bit in f32."""

@@ -58,6 +58,8 @@ def main(argv=None):
                    help="epochs to ramp scheduled_sampling from 0")
     p.add_argument("--chunk_steps", type=int, default=0,
                    help="host-fed chunked dispatch: K steps per program")
+    p.add_argument("--fidelity_every", type=int, default=0,
+                   help="log held-out per-step rollout mIoU every N epochs")
     args = p.parse_args(argv)
 
     import jax
@@ -79,7 +81,8 @@ def main(argv=None):
                  multistep_feedback_noise=args.multistep_feedback_noise,
                  scheduled_sampling=args.scheduled_sampling,
                  scheduled_ramp=args.scheduled_ramp,
-                 chunk_steps=args.chunk_steps)
+                 chunk_steps=args.chunk_steps,
+                 rollout_fidelity_every=args.fidelity_every)
     t = Trainer(cfg)
     m = t.fit()
     out = {k: round(float(v), 4) for k, v in m.items()

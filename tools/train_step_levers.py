@@ -88,8 +88,12 @@ def main():
 
     def state_of(mu_bf16=False):
         mu = jnp.bfloat16 if mu_bf16 else None
+        # fresh param buffers per lever: the donate levers donate the whole
+        # TrainState, which would delete the shared `params` arrays and
+        # crash every subsequent lever ("Array has been deleted")
+        p = jax.tree_util.tree_map(jnp.copy, params)
         return TrainState.create(
-            params, make_optimizer("adam", 2e-4, 0.5, moment_dtype=mu))
+            p, make_optimizer("adam", 2e-4, 0.5, moment_dtype=mu))
 
     results = {}
 

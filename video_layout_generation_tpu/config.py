@@ -146,6 +146,11 @@ class Config:
     # "nearest" (opt-in approximation; the stencil blends are ~14% of the
     # packed rollout — BENCH_NOTES cost map). Packed executors only.
     rollout_upsample: str = "bilinear"
+    # beyond reference: every N epochs, roll out on fixed held-out scenes
+    # and log per-step mIoU (the north-star fidelity curve). 0 = off.
+    # Synthetic dataset only (needs the sequence() contract).
+    rollout_fidelity_every: int = 0
+    rollout_fidelity_scenes: int = 8
 
     # -- pretrained weight artifacts ----------------------------------------
     hed_weights: Optional[str] = None   # converted HNED weights (.npz)
@@ -235,6 +240,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--rollout_edge_scale", type=int, default=1)
     p.add_argument("--rollout_upsample", type=str, default="bilinear",
                    choices=("bilinear", "nearest"))
+    p.add_argument("--rollout_fidelity_every", type=int, default=0)
+    p.add_argument("--rollout_fidelity_scenes", type=int, default=8)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--loss_dtype", type=str, default="float32")
     p.add_argument("--remat", action="store_true")

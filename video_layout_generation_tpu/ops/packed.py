@@ -134,31 +134,34 @@ def pack_kernel3x3_insplit(w: jnp.ndarray):
     phase-major input order; apply with ``conv_packed3x3_insplit``.
     """
     _, _, ci, co = w.shape
-    w_np = np.asarray(w, np.float32)
+    # built with traceable jnp placement (no numpy) so packing can run
+    # either eagerly on concrete params or inside an enclosing jit
+    zero = jnp.zeros((ci, co), w.dtype)
     out = []
     for dy in (0, 1):
         qys = (0, 1) if dy == 0 else (-1, 0)
         for dx in (0, 1):
             qxs = (0, 1) if dx == 0 else (-1, 0)
-            k = np.zeros((2, 2, ci, 4 * co), np.float32)
-            for ey in (0, 1):
-                for qy in qys:
-                    ky = 2 * qy + 1 + dy - ey
-                    if not 0 <= ky <= 2:
-                        continue
-                    for ex in (0, 1):
-                        for qx in qxs:
-                            kx = 2 * qx + 1 + dx - ex
-                            if not 0 <= kx <= 2:
-                                continue
-                            oc = (ey * 2 + ex) * co
-                            k[qy - qys[0], qx - qxs[0], :,
-                              oc:oc + co] = w_np[ky, kx]
+
+            def tap(qy, qx, ey, ex, dy=dy, dx=dx):
+                ky = 2 * qy + 1 + dy - ey
+                kx = 2 * qx + 1 + dx - ex
+                if 0 <= ky <= 2 and 0 <= kx <= 2:
+                    return w[ky, kx]
+                return zero
+
+            k = jnp.stack([
+                jnp.stack([
+                    jnp.concatenate(
+                        [tap(qy, qx, ey, ex)
+                         for ey in (0, 1) for ex in (0, 1)], axis=-1)
+                    for qx in qxs], axis=0)
+                for qy in qys], axis=0)
             # out[p] = sum_k x[p + k - pad_lo] w[k]; we need x[p + q],
             # q = k + qys[0]  ->  pad_lo = -qys[0], pad_hi = 1 + qys[0]
             pad = (((0, 1) if dy == 0 else (1, 0)),
                    ((0, 1) if dx == 0 else (1, 0)))
-            out.append((jnp.asarray(k, w.dtype), pad))
+            out.append((k, pad))
     return out
 
 
@@ -459,21 +462,25 @@ def pack_kernel3x3_1x2_insplit(w: jnp.ndarray):
     ``conv_packed1x2_insplit``.
     """
     _, _, ci, co = w.shape
-    w_np = np.asarray(w, np.float32)
+    # traceable jnp placement (no numpy) — see pack_kernel3x3_insplit
+    zero = jnp.zeros((ci, co), w.dtype)
     out = []
     for dx in (0, 1):
         qxs = (0, 1) if dx == 0 else (-1, 0)
-        k = np.zeros((3, 2, ci, 2 * co), np.float32)
-        for ky in range(3):
-            for ex in (0, 1):
-                for qx in qxs:
-                    kx = 2 * qx + 1 + dx - ex
-                    if not 0 <= kx <= 2:
-                        continue
-                    k[ky, qx - qxs[0], :, ex * co:(ex + 1) * co] = \
-                        w_np[ky, kx]
+
+        def tap(ky, qx, ex, dx=dx):
+            kx = 2 * qx + 1 + dx - ex
+            if 0 <= kx <= 2:
+                return w[ky, kx]
+            return zero
+
+        k = jnp.stack([
+            jnp.stack([
+                jnp.concatenate([tap(ky, qx, ex) for ex in (0, 1)], axis=-1)
+                for qx in qxs], axis=0)
+            for ky in range(3)], axis=0)
         pad = ((1, 1), (0, 1) if dx == 0 else (1, 0))
-        out.append((jnp.asarray(k, w.dtype), pad))
+        out.append((k, pad))
     return out
 
 

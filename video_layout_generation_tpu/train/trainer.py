@@ -657,6 +657,37 @@ class Trainer:
                            {"img": full_imgs, "seg": full_segs})
         return imgs, segs
 
+    def eval_rollout_fidelity(self):
+        """Per-step rollout fidelity on FIXED held-out synthetic scenes —
+        the north-star curve, logged during training so runs produce a
+        fidelity-vs-epoch trajectory instead of an endpoint number.
+        Beyond reference (it only dumps rollout frames qualitatively,
+        src/trainer.py:459-476). Held-out seed 4242 matches the campaign
+        eval (tools/convergence_run.py), so curves are comparable."""
+        cfg = self.cfg
+        if cfg.dataset != "synthetic":
+            self.logger.info("rollout fidelity tracking needs the "
+                             "synthetic dataset (sequence() contract); "
+                             "skipping")
+            return None
+        from ..data.synthetic import SyntheticTriplets
+        from ..evaluation.sequence import evaluate_trainer_rollout
+        n = cfg.rollout_fidelity_scenes
+        ds = SyntheticTriplets(n, cfg.image_size, cfg.n_classes, seed=4242)
+        fid = evaluate_trainer_rollout(self, ds, list(range(n)),
+                                       n_frames=cfg.rollout_frames)
+        if is_primary():
+            curve = " ".join(f"{float(v):.4f}" for v in fid["per_step_miou"])
+            self.logger.info("Rollout fidelity mean [%.4f] per-step [%s]" % (
+                fid["mean_miou"], curve))
+            self.writer.add_scalar("val/rollout_fidelity_mean",
+                                   fid["mean_miou"], self.epoch)
+            for k, v in enumerate(fid["per_step_miou"]):
+                self.writer.add_scalar(
+                    "val/rollout_fidelity_step%d" % (k + 1), float(v),
+                    self.epoch)
+        return fid
+
     def eval_generate_sequence(self, img1_path: str, img2_path: str,
                                seg1_path: str, seg2_path: str):
         """CLI rollout from image paths (reference src/trainer.py:429-450)."""
@@ -695,5 +726,8 @@ class Trainer:
                 metrics = self.validate()
                 if plateau is not None:
                     self._apply_lr(plateau.update(metrics["loss"]))
+            if (self.cfg.rollout_fidelity_every > 0
+                    and (epoch + 1) % self.cfg.rollout_fidelity_every == 0):
+                self.eval_rollout_fidelity()
             self.save_checkpoint(metrics)
         return metrics
