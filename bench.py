@@ -75,9 +75,11 @@ def main():
     # fast liveness gate: if the tunnel is dead, a trivial op hangs and the
     # 2400s watchdog outlives the driver's budget — probe with a dedicated
     # deadline first so a dead device yields the error JSON line quickly.
-    # 240s, not less: a live-but-stormy tunnel has measured 30-80s for this
-    # trivial op, and a false "wedged" verdict costs the whole bench.
-    probe = _arm_watchdog(240)
+    # 420s, not less: a live-but-stormy tunnel has measured 30-390s for this
+    # trivial op (round 3: 390s observed, then full recovery), and a false
+    # "wedged" verdict costs the whole bench. Beyond ~420s the driver's
+    # budget is gone anyway, so fail loudly there.
+    probe = _arm_watchdog(420)
     import jax.numpy as _jnp
     float(jax.jit(lambda x: (x * 2).sum())(_jnp.ones((8, 8))))
     probe.cancel()

@@ -1,0 +1,47 @@
+#!/bin/bash
+# Round-3 hardware measurement queue (VERDICT r2 #2/#3/#7), run once the
+# tunnel answers. Strictly serial — one TPU job at a time (CLAUDE.md).
+# Logs: /tmp/r3_<name>.log ; summary lines grep "R3Q".
+set -u
+cd "$(dirname "$0")/.."
+
+wait_tpu() {
+  for i in $(seq 1 40); do
+    if timeout 420 python -c "
+import jax, jax.numpy as jnp
+print('TPU_OK', float(jax.jit(lambda x: (x*2).sum())(jnp.ones((64,64)))))
+" 2>/dev/null | grep -q TPU_OK; then
+      echo "R3Q tpu ok (attempt $i, $(date))"; return 0
+    fi
+    sleep 60
+  done
+  echo "R3Q tpu never answered"; return 1
+}
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "R3Q start $name ($(date))"
+  timeout "$tmo" "$@" > "/tmp/r3_${name}.log" 2>&1
+  echo "R3Q done $name exit $? ($(date))"
+  tail -3 "/tmp/r3_${name}.log"
+}
+
+wait_tpu || exit 1
+
+# 1. bench (warms the driver's end-of-round programs into .jax_cache)
+run bench 2500 python bench.py
+
+# 2. chunked host-fed dispatch wall-clock (VERDICT #2 done-criterion)
+run chunk 3600 python tools/bench_chunk_scan.py --k 8
+
+# 3. train-step lever sweep (VERDICT #3a)
+run levers 5400 python tools/train_step_levers.py
+
+# 4. GAN quality A/B at matched compute (VERDICT #7)
+run gan 3600 python tools/gan_convergence.py --epochs 12
+run nogan 3600 python tools/gan_convergence.py --epochs 12 --no_gan
+
+# 5. insplit packed-conv A/B (VERDICT #3b)
+run insplit 5400 python tools/ab_insplit.py
+
+echo "R3Q queue complete ($(date))"

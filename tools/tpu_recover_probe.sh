@@ -3,7 +3,9 @@
 # (The tunnel can wedge server-side; see CLAUDE.md.)
 cd "$(dirname "$0")/.."
 for i in $(seq 1 80); do
-  if timeout 60 python -c "
+  # 300s per attempt: a recovering/stormy tunnel has answered this trivial
+  # op in 60-390s (round 3) — a 60s deadline never sees the recovery.
+  if timeout 300 python -c "
 import jax, jax.numpy as jnp
 print('TPU_OK', float(jax.jit(lambda x: (x*2).sum())(jnp.ones((64,64)))))
 " 2>/dev/null | grep -q TPU_OK; then
