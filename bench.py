@@ -32,6 +32,11 @@ REPEATS = 3
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
+# Best result so far — the budget watchdog emits this (partial but honest)
+# instead of an error line if the batched phase finished but a later phase
+# (e.g. batch-1 latency) outlives the driver's budget.
+_RESULT: dict = {}
+
 
 def _load_baseline() -> float:
     path = os.path.join(_REPO, "BASELINE_CPU.json")
@@ -53,11 +58,17 @@ def _arm_watchdog(seconds: int = 2400):
     import threading
 
     def _abort():
-        sys.stdout.write(json.dumps({
-            "metric": "layout rollout frames/sec/chip",
-            "value": None, "unit": "frames/sec/chip", "vs_baseline": None,
-            "error": f"TPU unresponsive for {seconds}s (tunnel wedged)"})
-            + "\n")
+        if _RESULT.get("value") is not None:
+            out = dict(_RESULT)
+            out["note"] = f"partial: aborted after {seconds}s budget"
+            sys.stdout.write(json.dumps(out) + "\n")
+        else:
+            sys.stdout.write(json.dumps({
+                "metric": "layout rollout frames/sec/chip",
+                "value": None, "unit": "frames/sec/chip",
+                "vs_baseline": None,
+                "error": f"TPU unresponsive for {seconds}s (tunnel wedged)"})
+                + "\n")
         sys.stdout.flush()
         os._exit(2)
 
@@ -83,6 +94,12 @@ def main():
     import jax.numpy as _jnp
     float(jax.jit(lambda x: (x * 2).sum())(_jnp.ones((8, 8))))
     probe.cancel()
+    # Budget watchdog (ADVICE r3): if the probe ate most of the driver's
+    # budget (VLG_BENCH_BUDGET, default 580s), still emit a JSON line —
+    # partial results if the batched phase finished, error line otherwise.
+    budget = float(os.environ.get("VLG_BENCH_BUDGET", "580"))
+    remaining = max(budget - (time.time() - _T_START) - 15.0, 30.0)
+    _arm_watchdog(int(remaining))
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(_REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -122,16 +139,27 @@ def main():
         times.append(time.perf_counter() - t0)
     best = min(times)
     fps = BATCH * N_FRAMES / best
+    baseline = _load_baseline()
+    _RESULT.update({
+        "metric": "layout rollout frames/sec/chip (256px, GridNet, "
+                  "8-frame autoregressive, batch %d)" % BATCH,
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline, 2),
+    })
 
     # single-stream latency (batch 1, same 8-frame workload) as an extra
-    # field; skipped if the batched part ate the time budget (a cold cache
-    # means the b1 compile could blow the driver's 580s timeout).
+    # field; attempted whenever ≥60s of the driver budget remain (the b1
+    # program is pre-warmed into .jax_cache by the hardware queue, so the
+    # warm-cache cost is one small compile fetch + a few device calls; the
+    # budget watchdog above emits the partial batched result if this phase
+    # overruns anyway).
     # Both numbers are reported: wall includes the tunnel round trip
     # (~27 ms nominal, weather-dependent); device subtracts an RTT measured
     # in the same second with a trivial pre-compiled scalar fetch — that is
     # the on-chip latency a local host would see.
     b1_wall_ms = b1_dev_ms = None
-    if time.time() - _T_START < 120:
+    if budget - (time.time() - _T_START) > 60:
         try:
             tiny = jax.jit(lambda x: (x * 2).sum())
             float(tiny(_jnp.ones((8, 8))))  # compiled above; warm again
@@ -147,21 +175,14 @@ def main():
                 ts.append(time.perf_counter() - t0)
             b1_wall_ms = round(min(ts) * 1000, 1)
             b1_dev_ms = round(max(min(ts) - min(rtts), 0.0) * 1000, 1)
-        except Exception:
+        except Exception as e:  # surface it — a silent miss cost round 3 item #6
             b1_wall_ms = b1_dev_ms = None
+            _RESULT["batch1_error"] = f"{type(e).__name__}: {e}"[:300]
 
-    baseline = _load_baseline()
-    out = {
-        "metric": "layout rollout frames/sec/chip (256px, GridNet, "
-                  "8-frame autoregressive, batch %d)" % BATCH,
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / baseline, 2),
-    }
     if b1_wall_ms is not None:
-        out["batch1_latency_wall_ms"] = b1_wall_ms
-        out["batch1_latency_device_ms"] = b1_dev_ms
-    print(json.dumps(out))
+        _RESULT["batch1_latency_wall_ms"] = b1_wall_ms
+        _RESULT["batch1_latency_device_ms"] = b1_dev_ms
+    print(json.dumps(_RESULT))
 
 
 if __name__ == "__main__":
