@@ -46,7 +46,10 @@ def _run_group(nproc: int, tmpdir, family: str = "plain") -> list:
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # 1200s: a cold-cache worker compile is ~350s alone, and host
+            # contention (another job on the single core) has blown a 600s
+            # deadline before (2026-08-20 flake during a TPU queue run)
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

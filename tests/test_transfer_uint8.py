@@ -103,3 +103,30 @@ def test_pack_passes_through_other_schemas():
     other = {"seg_in": np.zeros((2, 4, 4, 1), np.uint8),
              "seg_out": np.zeros((2, 4, 4), np.uint8)}
     assert pack_triplet_batch(dict(other)).keys() == other.keys()
+
+
+def test_put_thread_loader_identical_stream():
+    """The feeder-thread put path (ShardedLoader put_thread=True) must
+    yield bit-identical batches in identical order to the in-line path —
+    it only moves collate+device_put off the consumer thread."""
+    from video_layout_generation_tpu.data.pipeline import ShardedLoader
+    from video_layout_generation_tpu.parallel.mesh import make_mesh
+
+    ds = SyntheticTriplets(12, (16, 16), 20, seed=3)
+    mesh = make_mesh(shape=(1,))
+
+    def collect(put_thread):
+        host = HostLoader(ds, 4, shuffle=True, seed=7, workers=2,
+                          transfer_uint8=True)
+        host.set_epoch(2)
+        out = []
+        for b in ShardedLoader(host, mesh, put_thread=put_thread):
+            out.append({k: np.asarray(v) for k, v in b.items()})
+        return out
+
+    inline, threaded = collect(False), collect(True)
+    assert len(inline) == len(threaded) == 3
+    for a, b in zip(inline, threaded):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -13,7 +13,7 @@ def test_val_cli_runs_and_exports(tmp_path, capsys):
           "--n_samples", "4", "--save_dir", str(tmp_path)])
     out = capsys.readouterr().out
     assert "mIoU" in out
-    pngs = [f for f in os.listdir(tmp_path / "u_net_eval_32")]
+    pngs = [f for f in os.listdir(tmp_path / "u_net_eval_32x32")]
     assert len(pngs) == 4
 
 

@@ -53,6 +53,11 @@ def main(argv=None):
     p.add_argument("--capacity_max", type=float, default=0.0,
                    help="Burgess capacity target C_max in nats (0 = off)")
     p.add_argument("--capacity_steps", type=int, default=1000)
+    p.add_argument("--vae_widths", type=int, nargs="+", default=None,
+                   help="encoder widths for the vae family (decoder is "
+                        "mirrored); default 32 64 128")
+    p.add_argument("--dec_refines", type=int, default=1,
+                   help="refine convs per decoder upsample stage (vae)")
     p.add_argument("--bg_weight", type=float, default=1.0,
                    help="recon-CE weight for class 0 (vae family; < 1 "
                         "rebalances the ~88%%-background gradient)")
@@ -92,7 +97,9 @@ def main(argv=None):
                           kl_cycle_steps=args.kl_cycle,
                           capacity_max=args.capacity_max,
                           capacity_steps=args.capacity_steps,
-                          bg_weight=args.bg_weight)
+                          bg_weight=args.bg_weight,
+                          vae_widths=args.vae_widths,
+                          dec_refines=args.dec_refines)
         rows = []
         t0 = time.time()
         for epoch in range(args.epochs):

@@ -122,6 +122,18 @@ class Config:
                                         # K steps per compiled program
                                         # (train/chunk_scan.py); works with
                                         # ANY dataset, unlike epoch_scan
+    put_thread: bool = False            # host-fed loaders: collate+device_put
+                                        # on a feeder thread so the (blocking,
+                                        # serial-RPC on tunneled devices) H2D
+                                        # transfer overlaps the train step
+                                        # (data/pipeline.py ShardedLoader).
+                                        # OFF by default: the axon tunnel
+                                        # client HANGS under concurrent
+                                        # device RPCs from two threads
+                                        # (observed 2026-08-20: train step
+                                        # compiled+cached, then 12 min of
+                                        # all-threads-blocked silence);
+                                        # safe+tested on local backends.
 
     # -- runtime ------------------------------------------------------------
     workers: int = 4
@@ -290,6 +302,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk_steps", type=int, default=0,
                    help="host-fed chunked dispatch: K steps per compiled "
                         "program, K batches per upload (0 = per-step)")
+    p.add_argument("--put_thread", dest="put_thread",
+                   action="store_true", default=False,
+                   help="feeder-thread device_put overlap (hangs the "
+                        "tunneled axon client; use on local backends)")
     p.add_argument("--multistep_remat", dest="multistep_remat",
                    action="store_true", default=True)
     p.add_argument("--no_multistep_remat", dest="multistep_remat",

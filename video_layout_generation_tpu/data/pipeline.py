@@ -160,11 +160,12 @@ class ShardedLoader:
     """
 
     def __init__(self, loader: HostLoader, mesh, axis: str = "data",
-                 prefetch: int = 2):
+                 prefetch: int = 2, put_thread: bool = False):
         self.loader = loader
         self.mesh = mesh
         self.axis = axis
         self.prefetch = max(1, prefetch)
+        self.put_thread = put_thread
 
     def set_epoch(self, epoch: int):
         self.loader.set_epoch(epoch)
@@ -172,15 +173,51 @@ class ShardedLoader:
     def __len__(self):
         return len(self.loader)
 
-    def __iter__(self):
+    def _put_fn(self):
         sh = batch_sharding(self.mesh, self.axis)
         if jax.process_count() > 1:
-            put = lambda b: jax.tree_util.tree_map(
+            return lambda b: jax.tree_util.tree_map(
                 lambda x: jax.make_array_from_process_local_data(sh, x), b)
-        else:
-            put = lambda b: jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sh), b)
+        return lambda b: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), b)
+
+    def __iter__(self):
+        put = self._put_fn()
         it = iter(self.loader)
+        if self.put_thread:
+            # On remote/tunneled devices device_put is a BLOCKING serial
+            # RPC, so the in-line window below never overlaps transfer with
+            # the consumer's compute (measured: per-step wall 427 ms =
+            # 263 ms transfer + 134.5 ms device step + RTT, additive).
+            # A feeder thread performs collate+put while the consumer
+            # dispatches compute, making wall -> max(transfer, compute).
+            # Ordering (and therefore training trajectory) is unchanged.
+            import queue as _queue
+            import threading
+            q: _queue.Queue = _queue.Queue(maxsize=self.prefetch)
+            _END = object()
+            err: list = []
+
+            def feed():
+                try:
+                    for host_batch in it:
+                        q.put(put(host_batch))
+                except BaseException as e:  # surface in consumer
+                    err.append(e)
+                finally:
+                    q.put(_END)
+
+            t = threading.Thread(target=feed, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+            return
         # keep `prefetch` batches resident on device ahead of the consumer:
         # device_put is async, so H2D transfers overlap both the host decode
         # of later batches and the consumer's compute

@@ -66,6 +66,7 @@ class ConvDecoder(nn.Module):
     ConvLSTM family's 0.75 on the same data; BENCH_NOTES.md)."""
     n_classes: int = 20
     widths: Sequence[int] = (128, 64, 32)
+    refines: int = 1  # refine convs per upsample stage (depth knob)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -80,8 +81,10 @@ class ConvDecoder(nn.Module):
             # cannot sharpen class boundaries from the 1/8-res latent
             # (measured: VAE reconstruction stuck at the majority class
             # even with an informative posterior; BENCH_NOTES.md)
-            x = nn.Conv(wdt, (3, 3), padding=((1, 1), (1, 1)), dtype=dt)(x)
-            x = nn.relu(x)
+            for _ in range(self.refines):
+                x = nn.Conv(wdt, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=dt)(x)
+                x = nn.relu(x)
         if skip is not None:
             s = skip.astype(x.dtype) if dt is not None else skip
             x = jnp.concatenate([x, s], axis=-1)
@@ -119,11 +122,17 @@ class LayoutVAE(nn.Module):
     """Single-frame layout autoencoder (one-hot in, logits out)."""
     n_classes: int = 20
     latent_dim: int = 32
+    widths: Sequence[int] = (32, 64, 128)
+    dec_refines: int = 1
     dtype: Optional[Dtype] = None
 
     def setup(self):
-        self.encoder = ConvEncoder(self.latent_dim, dtype=self.dtype)
-        self.decoder = ConvDecoder(self.n_classes, dtype=self.dtype)
+        self.encoder = ConvEncoder(self.latent_dim, widths=self.widths,
+                                   dtype=self.dtype)
+        self.decoder = ConvDecoder(self.n_classes,
+                                   widths=tuple(reversed(self.widths)),
+                                   refines=self.dec_refines,
+                                   dtype=self.dtype)
 
     def __call__(self, onehot, rng) -> Tuple[jnp.ndarray, jnp.ndarray,
                                              jnp.ndarray]:

@@ -37,7 +37,8 @@ class LayoutTrainer:
                  dataset_train=None, dataset_val=None,
                  free_bits: float = 0.0, kl_cycle_steps: int = 0,
                  capacity_max: float = 0.0, capacity_steps: int = 1000,
-                 bg_weight: float = 1.0):
+                 bg_weight: float = 1.0, vae_widths=None,
+                 dec_refines: int = 1):
         """Posterior-collapse remedies (vae family only, all default-off;
         losses/vae.py docstring): ``free_bits`` per-dim KL floor,
         ``kl_cycle_steps`` cyclical beta annealing, ``capacity_max``/
@@ -63,7 +64,10 @@ class LayoutTrainer:
         rng = jax.random.key(cfg.seed)
 
         if family == "vae":
-            self.model = LayoutVAE(n_cls, latent_dim, dtype=dtype)
+            self.model = LayoutVAE(
+                n_cls, latent_dim,
+                widths=tuple(vae_widths) if vae_widths else (32, 64, 128),
+                dec_refines=dec_refines, dtype=dtype)
             params = jax.jit(self.model.init)(
                 rng, jnp.zeros((1, h, w, n_cls)), jax.random.key(1))
             cw = None
@@ -107,7 +111,7 @@ class LayoutTrainer:
                        process_count=jax.process_count(),
                        transfer_uint8=(cfg.transfer_uint8
                                        and cfg.n_classes <= 255)),
-            self.mesh)
+            self.mesh, put_thread=cfg.put_thread)
         self.train_loader = mk(dataset_train, True)
         self.val_loader = mk(dataset_val, False)
 

@@ -337,7 +337,8 @@ class Trainer:
                           process_count=n_proc,
                           transfer_uint8=(self.cfg.transfer_uint8
                                           and self.cfg.n_classes <= 255))
-        return ShardedLoader(host, self.mesh)
+        return ShardedLoader(host, self.mesh,
+                             put_thread=self.cfg.put_thread)
 
     # ------------------------------------------------------------------
     def set_epoch(self, epoch: int):

@@ -47,8 +47,10 @@ def parse_args(argv=None):
                    help="threads for the PNG export")
     p.add_argument("--bs", dest="batch_size", type=int, default=1)
     p.add_argument("--n_classes", type=int, default=29)
-    p.add_argument("--size", type=int, default=256,
-                   help="synthetic eval resolution")
+    p.add_argument("--size", type=int, nargs="+", default=[256],
+                   help="synthetic eval resolution: SIZE or H W (the "
+                        "reference's eval contract is 1024 2048, "
+                        "src/val.py:176)")
     p.add_argument("--n_samples", type=int, default=8,
                    help="synthetic sample count")
     p.add_argument("--embedding_dim", type=int, default=15)
@@ -59,20 +61,24 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _synthetic_arrays(n, hw, n_classes, seed=0):
+def _synthetic_arrays(n, shape, n_classes, seed=0):
+    hh, ww = shape
     rng = np.random.default_rng(seed)
-    segs = np.zeros((n, hw, hw), np.int32)
+    segs = np.zeros((n, hh, ww), np.int32)
     for i in range(n):
         for _ in range(5):
             c = int(rng.integers(0, n_classes))
-            y0, x0 = rng.integers(0, hw - 8, 2)
-            h, w = rng.integers(8, hw // 2, 2)
+            y0 = int(rng.integers(0, hh - 8))
+            x0 = int(rng.integers(0, ww - 8))
+            h = int(rng.integers(8, hh // 2))
+            w = int(rng.integers(8, ww // 2))
             segs[i, y0:y0 + h, x0:x0 + w] = c
-    imgs = rng.random((n, hw, hw, 3)).astype(np.float32)
-    masks = np.zeros((n, hw, hw), np.float32)
+    imgs = rng.random((n, hh, ww, 3)).astype(np.float32)
+    masks = np.zeros((n, hh, ww), np.float32)
     for i in range(n):
-        y0, x0 = rng.integers(hw // 4, hw // 2, 2)
-        masks[i, y0:y0 + hw // 4, x0:x0 + hw // 4] = 1.0
+        y0 = int(rng.integers(hh // 4, hh // 2))
+        x0 = int(rng.integers(ww // 4, ww // 2))
+        masks[i, y0:y0 + hh // 4, x0:x0 + ww // 4] = 1.0
     return imgs, segs, masks
 
 
@@ -88,13 +94,14 @@ def main(argv=None):
     from .evaluation.metrics import confusion_matrix, summarize_confusion
     from .models.legacy import Simple
 
+    size = tuple(args.size) if len(args.size) == 2 else (args.size[0],) * 2
     if args.data:
         raw = np.load(args.data)
         imgs, segs, masks = (np.asarray(raw["imgs"], np.float32),
                              np.asarray(raw["segs"], np.int32),
                              np.asarray(raw["masks"], np.float32))
     else:
-        imgs, segs, masks = _synthetic_arrays(args.n_samples, args.size,
+        imgs, segs, masks = _synthetic_arrays(args.n_samples, size,
                                               args.n_classes)
     n = imgs.shape[0]
     if n % args.batch_size != 0:
@@ -133,7 +140,7 @@ def main(argv=None):
         put = lambda x: jax.device_put(x, sh)
 
     save_folder = os.path.join(args.save_dir,
-                               f"{args.model}_eval_{args.size}")
+                               f"{args.model}_eval_{size[0]}x{size[1]}")
     os.makedirs(save_folder, exist_ok=True)
 
     print("evaluation start")
@@ -149,6 +156,9 @@ def main(argv=None):
         pred = apply_fn(params, put(masks[sl]),
                         put(segs[sl]), put(imgs[sl]))
         pred_np = np.asarray(pred)
+        # full-resolution output contract (reference src/val.py:176
+        # asserts [bs, 1024, 2048])
+        assert pred_np.shape == segs[sl].shape, pred_np.shape
         eval_time = time.time() - tic
 
         tic = time.time()
