@@ -228,3 +228,29 @@ def test_multistep_dp_step_matches_single_device():
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_layout_noise_zero_is_exact_and_positive_perturbs():
+    """layout_noise=0 must leave the objective bit-identical to the plain
+    K-step program; layout_noise>0 must change the loss (the fed-back
+    layout actually gets corrupted) while still training (finite loss,
+    same structure)."""
+    model, state, combined = _setup(n_channels=8)
+    win = _window_batch(t=5, seed=3)
+    rng = jax.random.key(9)
+
+    def loss_of(**kw):
+        step = make_multistep_train_step(model.apply, None, combined, 3,
+                                         jit=False, **kw)
+        st = jax.tree_util.tree_map(jnp.copy, state)
+        _, m = step(st, None, win, rng)
+        return float(m["loss"])
+
+    base = loss_of()
+    zero = loss_of(layout_noise=0.0)
+    assert base == zero
+    noisy = loss_of(layout_noise=0.3)
+    assert np.isfinite(noisy) and noisy != base
+    # composes with the frame-noise lever
+    both = loss_of(layout_noise=0.3, feedback_noise=0.1)
+    assert np.isfinite(both) and both != noisy

@@ -52,6 +52,8 @@ def main(argv=None):
                         "K-step objective (< 1 up-weights late steps)")
     p.add_argument("--multistep_feedback_noise", type=float, default=0.0,
                    help="sigma of Gaussian noise on the fed-back frame")
+    p.add_argument("--multistep_layout_noise", type=float, default=0.0,
+                   help="p of corrupting each fed-back layout pixel")
     p.add_argument("--scheduled_sampling", type=float, default=0.0,
                    help="scheduled-sampling probability (single-step only)")
     p.add_argument("--scheduled_ramp", type=int, default=0,
@@ -79,6 +81,7 @@ def main(argv=None):
                  ckpt=args.ckpt, lr=args.lr,
                  multistep_discount=args.multistep_discount,
                  multistep_feedback_noise=args.multistep_feedback_noise,
+                 multistep_layout_noise=args.multistep_layout_noise,
                  scheduled_sampling=args.scheduled_sampling,
                  scheduled_ramp=args.scheduled_ramp,
                  chunk_steps=args.chunk_steps,

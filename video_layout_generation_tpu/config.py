@@ -88,6 +88,9 @@ class Config:
                                         # normalized (1.0 = plain mean)
     multistep_feedback_noise: float = 0.0  # N(0, sigma) on the fed-back
                                         # predicted frame during training
+    multistep_layout_noise: float = 0.0  # p of replacing each fed-back
+                                        # layout pixel with a random class
+                                        # (layout-channel robustness lever)
     scheduled_sampling: float = 0.0     # p of feeding the model its own
                                         # (detached) prediction as the newest
                                         # input pair (train/scheduled.py);
@@ -290,6 +293,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "up-weights late steps (1.0 = plain mean)")
     p.add_argument("--multistep_feedback_noise", type=float, default=0.0,
                    help="sigma of Gaussian noise on the fed-back frame")
+    p.add_argument("--multistep_layout_noise", type=float, default=0.0,
+                   help="p of corrupting each fed-back layout pixel to a "
+                        "random class during K-step training")
     p.add_argument("--scheduled_sampling", type=float, default=0.0,
                    help="scheduled-sampling probability (0 = teacher-forced)")
     p.add_argument("--scheduled_ramp", type=int, default=0,

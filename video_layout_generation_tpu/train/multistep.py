@@ -72,7 +72,8 @@ def make_multistep_loss_fn(model_apply: Callable,
                            k: int, w_l1: float = 40.0, w_style: float = 20.0,
                            w_seg: float = 10.0, remat_steps: bool = True,
                            discount: float = 1.0,
-                           feedback_noise: float = 0.0):
+                           feedback_noise: float = 0.0,
+                           layout_noise: float = 0.0):
     """Build ``loss(params, hned_params, imgs, segs, coin, noise_key)``
     -> (loss, metrics) over K autoregressive steps. imgs: (N,K+2,H,W,3)
     in [0,1]; segs: (N,K+2,H,W) int; coin: bool whole-batch flip.
@@ -85,7 +86,12 @@ def make_multistep_loss_fn(model_apply: Callable,
     ``feedback_noise`` > 0 adds N(0, sigma) to the fed-back predicted frame
     (in normalized space) during training — the model learns to tolerate
     its own imperfect feedback, a train/rollout distribution-gap remedy.
-    The layout feedback stays exact (class ids don't perturb usefully).
+
+    ``layout_noise`` > 0 is the layout-channel counterpart: each fed-back
+    layout pixel is replaced with a uniform random class with that
+    probability — the lever for LAYOUT-channel feedback drift named by
+    tools/fidelity_decompose.py (class ids can't take Gaussian noise, so
+    the perturbation is categorical). 0 keeps the feedback exact.
 
     Flip order matches the reference (src/trainer.py:190-206): seed edges
     are extracted from the UNFLIPPED frames, then inputs, targets, and edge
@@ -130,8 +136,10 @@ def make_multistep_loss_fn(model_apply: Callable,
         seeds, tgt_f, tgt_s = jax.lax.cond(coin, flip_all, lambda t: t,
                                            (seeds, tgt_f, tgt_s))
 
+        any_noise = feedback_noise > 0.0 or layout_noise > 0.0
+
         def step(carry, xs):
-            if feedback_noise > 0.0:
+            if any_noise:
                 tf, ts, nkey = xs
             else:
                 tf, ts = xs
@@ -149,8 +157,19 @@ def make_multistep_loss_fn(model_apply: Callable,
             s_next = jax.lax.stop_gradient(
                 jnp.argmax(seg_logits, axis=-1))[..., None].astype(
                     jnp.float32)
+            if layout_noise > 0.0:
+                k_mask = jax.random.fold_in(nkey, 1)
+                k_cls = jax.random.fold_in(nkey, 2)
+                corrupt = jax.random.bernoulli(k_mask, layout_noise,
+                                               s_next.shape)
+                rand_cls = jax.random.randint(
+                    k_cls, s_next.shape, 0, seg_logits.shape[-1]
+                ).astype(jnp.float32)
+                s_next = jnp.where(corrupt, rand_cls, s_next)
             img_fb = img_n
             if feedback_noise > 0.0:
+                # nkey used directly: keeps the stream bit-identical to the
+                # pre-layout_noise program (r3 campaign legs)
                 img_fb = img_n + feedback_noise * jax.random.normal(
                     nkey, img_n.shape, img_n.dtype)
             if use_edges:
@@ -161,7 +180,7 @@ def make_multistep_loss_fn(model_apply: Callable,
             return carry, jnp.stack([step_l1, step_style, step_seg])
 
         xs = (tgt_f, tgt_s)
-        if feedback_noise > 0.0:
+        if any_noise:
             xs = xs + (jax.random.split(noise_key, k),)
         body = jax.checkpoint(step) if (remat_steps and k > 1) else step
         _, per_step = jax.lax.scan(body, seeds, xs, length=k)
@@ -184,20 +203,22 @@ def make_multistep_train_step(model_apply: Callable,
                               flip_mode: str = "batch",
                               remat_steps: bool = True, donate: bool = True,
                               jit: bool = True, discount: float = 1.0,
-                              feedback_noise: float = 0.0):
+                              feedback_noise: float = 0.0,
+                              layout_noise: float = 0.0):
     """Returns jitted ``train_step(state, hned_params, batch, rng)`` over
     the window contract; the reference's whole-batch flip coin
     (src/trainer.py:200) applies to the full window."""
     loss_fn = make_multistep_loss_fn(model_apply, hned_apply, combined_loss,
                                      k, w_l1, w_style, w_seg, remat_steps,
-                                     discount, feedback_noise)
+                                     discount, feedback_noise, layout_noise)
 
     def train_step(state: TrainState, hned_params, batch, rng):
         imgs, segs = decode_window_batch(batch)
         coin = (jax.random.bernoulli(rng) if flip_mode == "batch"
                 else jnp.asarray(False))
         noise_key = (jax.random.fold_in(rng, 7)
-                     if feedback_noise > 0.0 else None)
+                     if feedback_noise > 0.0 or layout_noise > 0.0
+                     else None)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, hned_params, imgs, segs, coin, noise_key)
         return state.apply_gradients(grads), metrics

@@ -188,7 +188,8 @@ class Trainer:
                 cfg.w_l1, cfg.w_style, cfg.w_seg,
                 remat_steps=cfg.multistep_remat,
                 discount=cfg.multistep_discount,
-                feedback_noise=cfg.multistep_feedback_noise)
+                feedback_noise=cfg.multistep_feedback_noise,
+                layout_noise=cfg.multistep_layout_noise)
         elif cfg.scheduled_sampling > 0:
             from .scheduled import make_scheduled_train_step, scheduled_p
             _ss_step = make_scheduled_train_step(
@@ -218,7 +219,8 @@ class Trainer:
                           cfg.multistep_k, cfg.w_l1, cfg.w_style, cfg.w_seg,
                           remat_steps=cfg.multistep_remat, jit=False,
                           discount=cfg.multistep_discount,
-                          feedback_noise=cfg.multistep_feedback_noise)
+                          feedback_noise=cfg.multistep_feedback_noise,
+                          layout_noise=cfg.multistep_layout_noise)
             else:
                 raw = make_train_step(model_apply, hned_apply, self.combined,
                                       cfg.w_l1, cfg.w_style, cfg.w_seg,
