@@ -641,6 +641,12 @@ class Trainer:
                 params=tree["params"],
                 opt_state=reshape_like(self.state.opt_state,
                                        tree["opt_state"]))
+        # Restored leaves are host numpy arrays; a fresh run's state lives
+        # on device (jitted init). Upload now so the resumed step runs the
+        # SAME compiled program as a fresh run — numpy-backed state hashed
+        # to a second program variant (and the tunneled client stalled on
+        # that first post-resume dispatch, 2026-08-20).
+        self.state = jax.device_put(self.state)
         self.logger.info("Checkpoint loaded")
 
     # ------------------------------------------------------------------
