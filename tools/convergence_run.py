@@ -60,6 +60,12 @@ def main(argv=None):
                    help="epochs to ramp scheduled_sampling from 0")
     p.add_argument("--chunk_steps", type=int, default=0,
                    help="host-fed chunked dispatch: K steps per program")
+    p.add_argument("--device_data", action="store_true", default=False,
+                   help="render training batches ON device (zero per-step "
+                        "H2D traffic; the cure for bandwidth-starved "
+                        "tunnels; synthetic only)")
+    p.add_argument("--epoch_scan", action="store_true", default=False,
+                   help="with --device_data: one compiled scan per epoch")
     p.add_argument("--fidelity_every", type=int, default=0,
                    help="log held-out per-step rollout mIoU every N epochs")
     args = p.parse_args(argv)
@@ -85,6 +91,7 @@ def main(argv=None):
                  scheduled_sampling=args.scheduled_sampling,
                  scheduled_ramp=args.scheduled_ramp,
                  chunk_steps=args.chunk_steps,
+                 device_data=args.device_data, epoch_scan=args.epoch_scan,
                  rollout_fidelity_every=args.fidelity_every)
     t = Trainer(cfg)
     m = t.fit()
