@@ -104,3 +104,20 @@ def test_loader_sharded_render_matches_unsharded():
         for k in bp:
             np.testing.assert_array_equal(np.asarray(bp[k]),
                                           np.asarray(bm[k]))
+
+
+def test_trainer_device_data_multistep_e2e(tmp_path):
+    """Device-rendered window batches through the K-step objective — the
+    zero-H2D leg executor (renderer n_frames = K+2; decode_window_batch
+    consumes the float window contract directly)."""
+    from video_layout_generation_tpu.config import Config
+    from video_layout_generation_tpu.train import Trainer
+    cfg = Config(dataset="synthetic", synthetic_train_size=8,
+                 synthetic_val_size=4, image_size=_HW, batch_size=4,
+                 epochs=1, edge=False, arch="GridNet", device_data=True,
+                 multistep_k=2, filters_level=(4, 6, 8),
+                 compute_dtype="float32", workers=2, mesh_shape=(1,),
+                 path=str(tmp_path), rollout_frames=2)
+    t = Trainer(cfg)
+    m = t.fit()
+    assert np.isfinite(m["loss"])
