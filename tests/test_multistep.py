@@ -254,3 +254,53 @@ def test_layout_noise_zero_is_exact_and_positive_perturbs():
     # composes with the frame-noise lever
     both = loss_of(layout_noise=0.3, feedback_noise=0.1)
     assert np.isfinite(both) and both != noisy
+
+
+def test_image_weight_levers_default_exact_and_renormalized():
+    """image_weight=1 + image_discount=1 must be bit-identical to the plain
+    K-step objective; image_weight=m must reproduce the closed-form
+    renormalized total r*(m*(l1+style)+seg) computed from the baseline
+    term metrics (r = sum(w)/ (m*(w_l1+w_style)+w_seg))."""
+    model, state, combined = _setup(n_channels=8)
+    win = _window_batch(t=5, seed=4)
+    rng = jax.random.key(10)
+
+    def metrics_of(**kw):
+        step = make_multistep_train_step(model.apply, None, combined, 3,
+                                         jit=False, **kw)
+        st = jax.tree_util.tree_map(jnp.copy, state)
+        _, m = step(st, None, win, rng)
+        return {k: float(v) for k, v in m.items() if not k.endswith("step")}
+
+    base = metrics_of()
+    same = metrics_of(image_weight=1.0, image_discount=1.0)
+    assert base["loss"] == same["loss"]
+
+    m2 = metrics_of(image_weight=2.0)
+    r = 70.0 / (2.0 * 60.0 + 10.0)
+    want = r * (2.0 * (base["loss_l1"] + base["loss_style"])
+                + base["loss_seg"])
+    np.testing.assert_allclose(m2["loss"], want, rtol=1e-5)
+
+
+def test_image_discount_matches_discount_when_seg_weight_zero():
+    """With w_seg=0 every loss term is an image term, so the early-up
+    image_discount profile g**i (mean-normalized) must equal the late-up
+    discount profile d**(K-1-i) at d=1/g — the two weightings are the same
+    set of normalized weights."""
+    model, state, combined = _setup(n_channels=8)
+    win = _window_batch(t=4, seed=5)
+    rng = jax.random.key(11)
+
+    def loss_of(**kw):
+        step = make_multistep_train_step(model.apply, None, combined, 2,
+                                         w_seg=0.0, jit=False, **kw)
+        st = jax.tree_util.tree_map(jnp.copy, state)
+        _, m = step(st, None, win, rng)
+        return float(m["loss"])
+
+    gamma = loss_of(image_discount=0.5)
+    dual = loss_of(discount=2.0)
+    np.testing.assert_allclose(gamma, dual, rtol=1e-6)
+    # and the lever actually moves the objective
+    assert gamma != loss_of()

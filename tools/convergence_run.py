@@ -54,6 +54,12 @@ def main(argv=None):
                    help="sigma of Gaussian noise on the fed-back frame")
     p.add_argument("--multistep_layout_noise", type=float, default=0.0,
                    help="p of corrupting each fed-back layout pixel")
+    p.add_argument("--multistep_image_weight", type=float, default=1.0,
+                   help="scale on image terms (l1+style) vs seg in the "
+                        "K-step loss, renormalized")
+    p.add_argument("--multistep_image_discount", type=float, default=1.0,
+                   help="per-step image-term weight g**i (< 1 up-weights "
+                        "early steps' image fidelity)")
     p.add_argument("--scheduled_sampling", type=float, default=0.0,
                    help="scheduled-sampling probability (single-step only)")
     p.add_argument("--scheduled_ramp", type=int, default=0,
@@ -88,6 +94,8 @@ def main(argv=None):
                  multistep_discount=args.multistep_discount,
                  multistep_feedback_noise=args.multistep_feedback_noise,
                  multistep_layout_noise=args.multistep_layout_noise,
+                 multistep_image_weight=args.multistep_image_weight,
+                 multistep_image_discount=args.multistep_image_discount,
                  scheduled_sampling=args.scheduled_sampling,
                  scheduled_ramp=args.scheduled_ramp,
                  chunk_steps=args.chunk_steps,

@@ -91,6 +91,14 @@ class Config:
     multistep_layout_noise: float = 0.0  # p of replacing each fed-back
                                         # layout pixel with a random class
                                         # (layout-channel robustness lever)
+    multistep_image_weight: float = 1.0  # scales the image terms (l1+style)
+                                        # vs seg inside the K-step loss,
+                                        # scale-renormalized (image drift is
+                                        # the binding rollout constraint)
+    multistep_image_discount: float = 1.0  # < 1 up-weights EARLY steps'
+                                        # image terms (weight = g**i, mean-
+                                        # normalized): early frames are
+                                        # re-fed and their errors compound
     scheduled_sampling: float = 0.0     # p of feeding the model its own
                                         # (detached) prediction as the newest
                                         # input pair (train/scheduled.py);
@@ -296,6 +304,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--multistep_layout_noise", type=float, default=0.0,
                    help="p of corrupting each fed-back layout pixel to a "
                         "random class during K-step training")
+    p.add_argument("--multistep_image_weight", type=float, default=1.0,
+                   help="scale on the image terms (l1+style) vs seg in the "
+                        "K-step loss, total renormalized (1.0 = reference "
+                        "weighting)")
+    p.add_argument("--multistep_image_discount", type=float, default=1.0,
+                   help="per-step image-term weight g**i, mean-normalized: "
+                        "< 1 up-weights EARLY steps' image fidelity")
     p.add_argument("--scheduled_sampling", type=float, default=0.0,
                    help="scheduled-sampling probability (0 = teacher-forced)")
     p.add_argument("--scheduled_ramp", type=int, default=0,

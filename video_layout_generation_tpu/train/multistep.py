@@ -73,7 +73,9 @@ def make_multistep_loss_fn(model_apply: Callable,
                            w_seg: float = 10.0, remat_steps: bool = True,
                            discount: float = 1.0,
                            feedback_noise: float = 0.0,
-                           layout_noise: float = 0.0):
+                           layout_noise: float = 0.0,
+                           image_weight: float = 1.0,
+                           image_discount: float = 1.0):
     """Build ``loss(params, hned_params, imgs, segs, coin, noise_key)``
     -> (loss, metrics) over K autoregressive steps. imgs: (N,K+2,H,W,3)
     in [0,1]; segs: (N,K+2,H,W) int; coin: bool whole-batch flip.
@@ -92,6 +94,21 @@ def make_multistep_loss_fn(model_apply: Callable,
     probability — the lever for LAYOUT-channel feedback drift named by
     tools/fidelity_decompose.py (class ids can't take Gaussian noise, so
     the perturbation is categorical). 0 keeps the feedback exact.
+
+    ``image_weight`` != 1 scales the IMAGE terms (l1 + style) relative to
+    the seg term — the decomposition (BENCH_NOTES round 4) names
+    image-feedback drift as the binding rollout constraint, and these are
+    the terms that shape the frames the model feeds itself. The total is
+    renormalized by (w_l1+w_style+w_seg)/(m*(w_l1+w_style)+w_seg) so the
+    overall loss scale (and the Adam-calibrated lr of the warm-start
+    recipe) is approximately preserved.
+
+    ``image_discount`` < 1 up-weights EARLY steps' image terms (step i
+    image weight = image_discount**i, mean-normalized): an early step's
+    predicted frame is re-fed K-1-i more times, so its fidelity compounds.
+    Composes multiplicatively with ``discount`` (which weights all three
+    terms). Defaults (1.0, 1.0) keep the objective bit-identical to the
+    pre-lever program.
 
     Flip order matches the reference (src/trainer.py:190-206): seed edges
     are extracted from the UNFLIPPED frames, then inputs, targets, and edge
@@ -186,8 +203,19 @@ def make_multistep_loss_fn(model_apply: Callable,
         _, per_step = jax.lax.scan(body, seeds, xs, length=k)
         # per_step: (K, 3); discount=1 -> plain mean keeps K=1 == the
         # reference loss; discount<1 up-weights late (harder) steps
-        terms = jnp.mean(step_w[:, None] * per_step, axis=0)
-        total = jnp.sum(terms)
+        if image_weight == 1.0 and image_discount == 1.0:
+            terms = jnp.mean(step_w[:, None] * per_step, axis=0)
+            total = jnp.sum(terms)
+        else:
+            img_w = jnp.asarray([image_discount ** i for i in range(k)],
+                                jnp.float32)
+            img_w = step_w * (img_w / jnp.mean(img_w)) * image_weight
+            w_mat = jnp.stack([img_w, img_w, step_w], axis=1)
+            terms = jnp.mean(w_mat * per_step, axis=0)
+            renorm = (w_l1 + w_style + w_seg) / (
+                image_weight * (w_l1 + w_style) + w_seg)
+            terms = renorm * terms
+            total = jnp.sum(terms)
         metrics = {"loss": total, "loss_l1": terms[0],
                    "loss_style": terms[1], "loss_seg": terms[2],
                    "loss_per_step": jnp.sum(per_step, axis=1)}
@@ -204,13 +232,16 @@ def make_multistep_train_step(model_apply: Callable,
                               remat_steps: bool = True, donate: bool = True,
                               jit: bool = True, discount: float = 1.0,
                               feedback_noise: float = 0.0,
-                              layout_noise: float = 0.0):
+                              layout_noise: float = 0.0,
+                              image_weight: float = 1.0,
+                              image_discount: float = 1.0):
     """Returns jitted ``train_step(state, hned_params, batch, rng)`` over
     the window contract; the reference's whole-batch flip coin
     (src/trainer.py:200) applies to the full window."""
     loss_fn = make_multistep_loss_fn(model_apply, hned_apply, combined_loss,
                                      k, w_l1, w_style, w_seg, remat_steps,
-                                     discount, feedback_noise, layout_noise)
+                                     discount, feedback_noise, layout_noise,
+                                     image_weight, image_discount)
 
     def train_step(state: TrainState, hned_params, batch, rng):
         imgs, segs = decode_window_batch(batch)

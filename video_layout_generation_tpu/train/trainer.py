@@ -189,7 +189,9 @@ class Trainer:
                 remat_steps=cfg.multistep_remat,
                 discount=cfg.multistep_discount,
                 feedback_noise=cfg.multistep_feedback_noise,
-                layout_noise=cfg.multistep_layout_noise)
+                layout_noise=cfg.multistep_layout_noise,
+                image_weight=cfg.multistep_image_weight,
+                image_discount=cfg.multistep_image_discount)
         elif cfg.scheduled_sampling > 0:
             from .scheduled import make_scheduled_train_step, scheduled_p
             _ss_step = make_scheduled_train_step(
@@ -220,7 +222,9 @@ class Trainer:
                           remat_steps=cfg.multistep_remat, jit=False,
                           discount=cfg.multistep_discount,
                           feedback_noise=cfg.multistep_feedback_noise,
-                          layout_noise=cfg.multistep_layout_noise)
+                          layout_noise=cfg.multistep_layout_noise,
+                          image_weight=cfg.multistep_image_weight,
+                          image_discount=cfg.multistep_image_discount)
             else:
                 raw = make_train_step(model_apply, hned_apply, self.combined,
                                       cfg.w_l1, cfg.w_style, cfg.w_seg,
