@@ -78,10 +78,38 @@ def _arm_watchdog(seconds: int = 2400):
     return t
 
 
+def _take_tpu_lock(max_wait: float = 150.0):
+    """Serialize with the tool jobs: every TPU entry point in tools/ wraps
+    itself in ``flock /tmp/vlg_tpu.lock``; bench.py must too, or the
+    driver's round-end bench can race a still-running leg straight into a
+    wedged tunnel (that is exactly how BENCH_r04 came back null). Bounded
+    wait: if a runaway job holds the lock past ``max_wait`` we proceed
+    anyway (the liveness probe + watchdogs below still bound the damage)
+    rather than burn the whole driver budget queueing."""
+    import fcntl
+    try:
+        f = open("/tmp/vlg_tpu.lock", "w")
+    except OSError:
+        return None
+    deadline = time.time() + max_wait
+    while True:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return f  # keep open: lock held for process lifetime
+        except OSError:
+            if time.time() >= deadline:
+                _RESULT["lock_note"] = (
+                    "proceeded without vlg_tpu.lock after %.0fs wait"
+                    % max_wait)
+                return f
+            time.sleep(2.0)
+
+
 def main():
     global _T_START
     _T_START = time.time()
     _arm_watchdog()
+    _LOCK = _take_tpu_lock()  # noqa: F841 — held until exit
     import jax
     # fast liveness gate: if the tunnel is dead, a trivial op hangs and the
     # 2400s watchdog outlives the driver's budget — probe with a dedicated

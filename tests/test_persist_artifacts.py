@@ -53,6 +53,25 @@ def test_pack_unpack_checkpoint_bit_exact(small_ckpt, tmp_path):
     assert rep["shape_mismatch"] == []
 
 
+def test_full_resume_from_snapshot_fails_loudly(small_ckpt, tmp_path):
+    """Snapshots are weights-only: a full --resume against a restored dir
+    must fail early with a self-describing error (ADVICE r4), and the
+    'latest' alias written by unpack must resolve to the epoch dir."""
+    src, _ = small_ckpt
+    snap = str(tmp_path / "snap.npz")
+    dst = str(tmp_path / "restored" / "checkpoint" / "096")
+    persist_main(["pack", "--ckpt", src, "--out", snap])
+    persist_main(["unpack", "--snap", snap, "--ckpt", dst])
+
+    mgr = CheckpointManager(str(tmp_path / "restored" / "checkpoint"))
+    with pytest.raises(ValueError, match="weights-only"):
+        mgr.restore("latest")
+    with pytest.raises(ValueError, match="weights-only"):
+        mgr.restore(96)
+    # the weights-only warm-start path stays usable
+    assert mgr.restore_weights(96)["head"]["w"].shape == (8,)
+
+
 def test_pack_unpack_plain_npz(tmp_path):
     src = str(tmp_path / "net.npz")
     np.savez(src, w1=np.ones((4, 4), np.float32),

@@ -43,12 +43,13 @@ import os
 
 import numpy as np
 
-# Host-side tool: never touch the tunneled TPU (the session env pins
-# JAX_PLATFORMS=axon; a device restore through the tunnel can block for
-# minutes and would race whatever job holds the TPU lock).
-import jax
-
-jax.config.update("jax_platforms", "cpu")
+# Snapshots restore with opt_state set to this string sentinel: a full
+# --resume against a restored dir then fails loudly in reshape_like (dict
+# vs str) with a self-describing value instead of silently loading a zero
+# optimizer state. Weights-only warm starts (--ckpt) never read it.
+OPT_STATE_SENTINEL = (
+    "weights-only snapshot (tools/persist_artifacts.py): optimizer state "
+    "was not persisted — warm-start with --ckpt, not --resume")
 
 
 def _flatten(tree, prefix=()):
@@ -125,14 +126,31 @@ def unpack(args):
         flat[tuple(key.split("/"))] = arr
     params = _unflatten(flat)
     import orbax.checkpoint as ocp
-    tree = {"params": params, "opt_state": 0, **meta}
+    tree = {"params": params, "opt_state": OPT_STATE_SENTINEL, **meta}
     path = os.path.abspath(args.ckpt)
     ocp.PyTreeCheckpointer().save(path, tree, force=True)
+    # 'latest' alias beside the epoch dir so `--resume latest` at least
+    # resolves; the resume then fails loudly on the opt_state sentinel
+    # instead of a confusing orbax not-found error (ADVICE r4).
+    parent = os.path.dirname(path)
+    latest = os.path.join(parent, "latest")
+    if not os.path.exists(latest) and not os.path.islink(latest):
+        try:
+            os.symlink(path, latest)
+        except OSError:
+            pass
     print(f"unpacked {args.snap} -> {path} "
           f"(epoch {meta['epoch']}, arch {meta['arch']!r}, weights-only)")
 
 
 def main(argv=None):
+    # Host-side tool: never touch the tunneled TPU (the session env pins
+    # JAX_PLATFORMS=axon; a device restore through the tunnel can block
+    # for minutes and would race whatever job holds the TPU lock). Pinned
+    # here, not at import time, so importing this module has no global
+    # side effect (ADVICE r4).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="mode", required=True)
     pp = sub.add_parser("pack")

@@ -31,8 +31,10 @@ run() {
   local name=$1 tmo=$2; shift 2
   echo "R5F start $name ($(date))"
   flock "$LOCK" timeout "$tmo" "$@" > "/tmp/r5_${name}.log" 2>&1
-  echo "R5F done $name exit $? ($(date))"
+  RUN_RC=$?
+  echo "R5F done $name exit $RUN_RC ($(date))"
   tail -3 "/tmp/r5_${name}.log"
+  return $RUN_RC
 }
 
 mkdir -p artifacts
@@ -45,10 +47,14 @@ for a in hned_synth vgg_synth; do
         --snap artifacts_store/$a.npz --npz artifacts/$a.npz
     else
       run $a 3600 python tools/pretrain_${a%_synth}.py \
-        --out artifacts/$a.npz
-      python tools/persist_artifacts.py pack --npz artifacts/$a.npz \
-        --out artifacts_store/$a.npz
+        --out artifacts/$a.npz || { echo "R5F ABORT: $a rebuild failed"; exit 1; }
     fi
+  fi
+  # pack-immediately policy: snapshot whenever the local artifact exists
+  # but the committed store copy doesn't (whatever path produced it)
+  if [ -f artifacts/$a.npz ] && [ ! -f artifacts_store/$a.npz ]; then
+    python tools/persist_artifacts.py pack --npz artifacts/$a.npz \
+      --out artifacts_store/$a.npz
   fi
 done
 
@@ -61,12 +67,16 @@ if [ ! -d "$CKPT" ]; then
       --snap artifacts_store/flagship_096.npz --ckpt "$CKPT"
   else
     run flagship48 7200 python tools/convergence_run.py $COMMON \
-      --epochs 48 --path artifacts/flagship
+      --epochs 48 --path artifacts/flagship \
+      || { echo "R5F ABORT: flagship48 failed"; exit 1; }
     run flagship96 7200 python tools/convergence_run.py $COMMON \
-      --epochs 96 --path artifacts/flagship --resume latest
-    python tools/persist_artifacts.py pack --ckpt "$CKPT" \
-      --out artifacts_store/flagship_096.npz
+      --epochs 96 --path artifacts/flagship --resume latest \
+      || { echo "R5F ABORT: flagship96 failed"; exit 1; }
   fi
+fi
+if [ -d "$CKPT" ] && [ ! -f artifacts_store/flagship_096.npz ]; then
+  python tools/persist_artifacts.py pack --ckpt "$CKPT" \
+    --out artifacts_store/flagship_096.npz
 fi
 echo "R5F stage 0 complete; remember: git add artifacts_store && commit"
 

@@ -148,6 +148,13 @@ class CheckpointManager:
             raise ValueError(
                 f"Architecture mismatch: ckpt {tree.get('arch')}, "
                 f"config {arch}")
+        # weights-only snapshots (tools/persist_artifacts.py) store a
+        # self-describing string sentinel in opt_state — fail a full
+        # resume early instead of a confusing reshape_like TypeError
+        if isinstance(tree.get("opt_state"), str):
+            raise ValueError(
+                f"cannot fully resume from {self._path(tag)}: "
+                f"{tree['opt_state']}")
         return tree
 
     def restore_weights(self, tag) -> Any:
