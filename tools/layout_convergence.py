@@ -61,6 +61,17 @@ def main(argv=None):
     p.add_argument("--bg_weight", type=float, default=1.0,
                    help="recon-CE weight for class 0 (vae family; < 1 "
                         "rebalances the ~88%%-background gradient)")
+    p.add_argument("--multistep_k", type=int, default=1,
+                   help="K-step exposure training for cvae/convlstm "
+                        "(train/vae_steps.py): steps > 0 see the model's "
+                        "own fed-back argmax prediction as context; 1 = "
+                        "the plain single-step objective")
+    p.add_argument("--multistep_layout_noise", type=float, default=0.0,
+                   help="p of corrupting each fed-back layout pixel "
+                        "(multistep_k > 1 only)")
+    p.add_argument("--ckpt", default=None,
+                   help="weights-only warm start (objective-switch "
+                        "recipe; pair with --lr 5e-5)")
     p.add_argument("--rollout_frames", type=int, default=8,
                    help="autoregressive steps for the fidelity eval (and "
                         "the CVAE prior-sample scan length)")
@@ -88,7 +99,11 @@ def main(argv=None):
                      rollout_frames=args.rollout_frames,
                      compute_dtype="bfloat16", workers=4,
                      path=_os.path.join(args.path, family),
-                     mesh_shape=(1,))
+                     mesh_shape=(1,),
+                     multistep_k=(args.multistep_k
+                                  if family != "vae" else 1),
+                     multistep_layout_noise=args.multistep_layout_noise,
+                     ckpt=args.ckpt)
         t = LayoutTrainer(cfg, family=family,
                           latent_dim=args.latent, hidden=args.hidden,
                           kl_warmup_steps=args.kl_warmup,

@@ -24,7 +24,9 @@ from ..models.convlstm import ConvLSTMLayoutPredictor
 from ..models.vae import LayoutCVAE, LayoutVAE, make_cvae_rollout
 from ..parallel.mesh import is_primary, make_mesh
 from .state import TrainState, make_optimizer
-from .vae_steps import (kl_anneal, make_convlstm_train_step,
+from .vae_steps import (kl_anneal, make_convlstm_multistep_train_step,
+                        make_convlstm_train_step,
+                        make_cvae_multistep_train_step,
                         make_cvae_train_step, make_vae_train_step)
 
 
@@ -63,6 +65,16 @@ class LayoutTrainer:
         h, w = cfg.image_size
         rng = jax.random.key(cfg.seed)
 
+        # K-step exposure training (anti-drift lever set proven on the
+        # flagship, VERDICT r4 #5): steps > 0 see the model's own fed-back
+        # argmax prediction as context. K=1 keeps the exact single-step
+        # programs below.
+        self.multistep_k = int(getattr(cfg, "multistep_k", 1))
+        if self.multistep_k > 1 and family == "vae":
+            raise ValueError("multistep_k > 1 needs an autoregressive "
+                             "family (cvae/convlstm); the vae family "
+                             "autoencodes single frames")
+
         if family == "vae":
             self.model = LayoutVAE(
                 n_cls, latent_dim,
@@ -81,14 +93,24 @@ class LayoutTrainer:
             params = jax.jit(self.model.init)(
                 rng, jnp.zeros((1, h, w, 2 * n_cls)),
                 jnp.zeros((1, h, w, n_cls)), jax.random.key(1))
-            self._step = make_cvae_train_step(self.model, n_cls)
+            if self.multistep_k > 1:
+                self._step = make_cvae_multistep_train_step(
+                    self.model, n_cls, k=self.multistep_k,
+                    layout_noise=cfg.multistep_layout_noise)
+            else:
+                self._step = make_cvae_train_step(self.model, n_cls)
             self._rollout = make_cvae_rollout(self.model,
                                               cfg.rollout_frames, n_cls)
         elif family == "convlstm":
             self.model = ConvLSTMLayoutPredictor(n_cls, hidden, dtype=dtype)
             params = jax.jit(self.model.init)(
                 rng, jnp.zeros((1, 2, h, w, n_cls)))
-            self._step = make_convlstm_train_step(self.model, n_cls)
+            if self.multistep_k > 1:
+                self._step = make_convlstm_multistep_train_step(
+                    self.model, n_cls, k=self.multistep_k,
+                    layout_noise=cfg.multistep_layout_noise)
+            else:
+                self._step = make_convlstm_train_step(self.model, n_cls)
         else:
             raise ValueError(f"unknown layout family {family!r}")
 
@@ -98,6 +120,21 @@ class LayoutTrainer:
         self.epoch = 0
         ckpt_dir = os.path.join(cfg.path, "checkpoint") if cfg.path else None
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+        if cfg.ckpt:
+            # weights-only warm start (fresh optimizer/epoch) — the proven
+            # objective-switch recipe when moving to the K-step objective
+            # (BENCH_NOTES "Multi-step BPTT finetune"; Trainer's cfg.ckpt)
+            from ..io.checkpoint import merge_params
+            tree = CheckpointManager.restore_path(cfg.ckpt)
+            merged, rep = merge_params(self.state.params, tree["params"])
+            if not rep["loaded"]:
+                raise ValueError(f"ckpt {cfg.ckpt} shares no parameters "
+                                 f"with the live layout_{family} model")
+            self.state = self.state.replace(params=merged)
+            self.logger.info(
+                "[layout/%s] warm start from %s: %d loaded, %d missing, "
+                "%d unexpected", family, cfg.ckpt, len(rep["loaded"]),
+                len(rep["missing"]), len(rep["unexpected"]))
         if cfg.resume:
             self.load_checkpoint(cfg.resume)
 
@@ -148,17 +185,34 @@ class LayoutTrainer:
         return ctx, batch["seg3"].astype(jnp.int32)
 
     def train_epoch(self) -> Dict[str, float]:
+        from .multistep import decode_window_batch, is_window_batch
         from .steps import decode_batch
         self.train_loader.set_epoch(self.epoch)
         metrics = {}
         for batch in self.train_loader:
-            batch = decode_batch(batch)  # unpack packed6 / uint8 transfer
+            window = is_window_batch(batch)
+            if window:
+                _, segs = decode_window_batch(batch)
+            else:
+                if self.multistep_k > 1:
+                    raise ValueError(
+                        "multistep_k > 1 needs the window batch contract "
+                        "(K+2-frame train dataset; data.get_dataset emits "
+                        "it automatically)")
+                batch = decode_batch(batch)  # unpack packed6/uint8 transfer
             self.global_step += 1
             rng = jax.random.fold_in(jax.random.key(self.cfg.seed),
                                      self.global_step)
             beta = kl_anneal(self.global_step, self.kl_warmup,
                              self.beta_max, self.kl_cycle_steps)
-            if self.family == "vae":
+            if window:
+                # K-step exposure objective over the seg window
+                if self.family == "cvae":
+                    self.state, metrics = self._step(self.state, segs, rng,
+                                                     beta)
+                else:
+                    self.state, metrics = self._step(self.state, segs, rng)
+            elif self.family == "vae":
                 args = (self.state, batch["seg3"].astype(jnp.int32), rng,
                         beta)
                 if self.capacity_max > 0.0:

@@ -89,6 +89,137 @@ def make_cvae_train_step(model, n_classes: int = 20, donate: bool = True):
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_cvae_multistep_train_step(model, n_classes: int = 20, k: int = 2,
+                                   donate: bool = True,
+                                   layout_noise: float = 0.0,
+                                   feedback: str = "prior"):
+    """K-step exposure training for the CVAE — the anti-drift lever set
+    proven on the flagship (train/multistep.py) ported to the layout
+    family (VERDICT r4 #5). ``step(state, seg_ids (N,T,H,W) with
+    T >= k+2, rng, beta) -> (state, metrics)``.
+
+    Step i trains the full CVAE objective (posterior/prior KL + recon)
+    against target frame i+2, but for i > 0 the newest CONTEXT frame is
+    the model's own fed-back argmax prediction instead of ground truth —
+    sampled from the PRIOR by default, i.e. exactly the distribution the
+    ``make_cvae_rollout`` scan feeds itself (feedback='posterior' uses the
+    training-path decode instead: cheaper, milder exposure). Layout
+    feedback is argmax ids, so no gradient flows through the feedback —
+    this is exposure-bias training (context drawn from the model's own
+    rollout distribution), not BPTT.
+
+    ``layout_noise`` > 0 additionally corrupts each fed-back layout pixel
+    to a uniform random class with that probability (same semantics as
+    multistep.py's layout channel lever).
+
+    ``k=1`` runs the identical ops on the identical rng as
+    ``make_cvae_train_step`` (bit-identity, tested)."""
+    if feedback not in ("prior", "posterior"):
+        raise ValueError(f"unknown feedback {feedback!r}")
+
+    def one_hot_ctx(c1, c2):
+        oh = lambda s: jax.nn.one_hot(s, n_classes)
+        return jnp.concatenate([oh(c1), oh(c2)], axis=-1)
+
+    def step_fn(state: TrainState, seg_ids, rng, beta):
+        seg_ids = seg_ids.astype(jnp.int32)
+
+        def loss_fn(params):
+            c1, c2 = seg_ids[:, 0], seg_ids[:, 1]
+            totals = []
+            metric_sum = None
+            for i in range(k):
+                target = seg_ids[:, i + 2]
+                target_oh = jax.nn.one_hot(target, n_classes)
+                ctx = one_hot_ctx(c1, c2)
+                # step 0 consumes rng exactly like the single-step path
+                key = rng if i == 0 else jax.random.fold_in(rng, i)
+                logits, q_stats, p_stats = model.apply(params, ctx,
+                                                       target_oh, key)
+                total, metrics = cvae_loss(logits, target, q_stats,
+                                           p_stats, beta)
+                totals.append(total)
+                metric_sum = (metrics if metric_sum is None else
+                              {mk: metric_sum[mk] + metrics[mk]
+                               for mk in metrics})
+                if i + 1 < k:
+                    if feedback == "prior":
+                        gen_key = jax.random.fold_in(key, 1 << 16)
+                        from ..models.vae import LayoutCVAE
+                        gen_logits = model.apply(params, ctx, gen_key,
+                                                 method=LayoutCVAE.generate)
+                    else:
+                        gen_logits = logits
+                    nxt = jax.lax.stop_gradient(
+                        jnp.argmax(gen_logits, axis=-1))
+                    if layout_noise > 0.0:
+                        k_mask = jax.random.fold_in(key, (1 << 16) + 1)
+                        k_cls = jax.random.fold_in(key, (1 << 16) + 2)
+                        corrupt = jax.random.bernoulli(
+                            k_mask, layout_noise, nxt.shape)
+                        rand_cls = jax.random.randint(
+                            k_cls, nxt.shape, 0, n_classes)
+                        nxt = jnp.where(corrupt, rand_cls, nxt)
+                    c1, c2 = c2, nxt
+            # plain mean over steps keeps the loss scale (and the
+            # Adam-calibrated lr of the warm-start recipe) unchanged
+            inv_k = 1.0 / k
+            loss = sum(totals) * inv_k
+            metrics = {mk: v * inv_k for mk, v in metric_sum.items()}
+            metrics["loss"] = loss
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_convlstm_multistep_train_step(model, n_classes: int = 20,
+                                       k: int = 2, donate: bool = True,
+                                       layout_noise: float = 0.0):
+    """The same K-step exposure objective for the deterministic ConvLSTM
+    predictor: ``step(state, seg_ids (N,T,H,W), ...)`` — steps i > 0 see
+    the model's own argmax prediction as the newest context frame.
+    ``k=1`` is bit-identical to ``make_convlstm_train_step`` given the
+    first-triplet slice of the window."""
+
+    def step_fn(state: TrainState, seg_ids, rng):
+        seg_ids = seg_ids.astype(jnp.int32)
+
+        def loss_fn(params):
+            c1, c2 = seg_ids[:, 0], seg_ids[:, 1]
+            total = 0.0
+            for i in range(k):
+                target = seg_ids[:, i + 2]
+                ctx_oh = jax.nn.one_hot(jnp.stack([c1, c2], axis=1),
+                                        n_classes)
+                logits = model.apply(params, ctx_oh)
+                total = total + cross_entropy_loss(logits, target)
+                if i + 1 < k:
+                    nxt = jax.lax.stop_gradient(
+                        jnp.argmax(logits, axis=-1))
+                    if layout_noise > 0.0:
+                        key = jax.random.fold_in(rng, i)
+                        corrupt = jax.random.bernoulli(
+                            jax.random.fold_in(key, 1), layout_noise,
+                            nxt.shape)
+                        rand_cls = jax.random.randint(
+                            jax.random.fold_in(key, 2), nxt.shape, 0,
+                            n_classes)
+                        nxt = jnp.where(corrupt, rand_cls, nxt)
+                    c1, c2 = c2, nxt
+            loss = total / k
+            return loss, {"loss": loss}
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def make_convlstm_train_step(model, n_classes: int = 20,
                              donate: bool = True):
     """step(state, ctx_ids (N,T,H,W), target_ids (N,H,W))."""
