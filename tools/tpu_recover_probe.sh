@@ -13,7 +13,9 @@ import jax, jax.numpy as jnp
 print('TPU_OK', float(jax.jit(lambda x: (x*2).sum())(jnp.ones((64,64)))))
 " 2>/dev/null | grep -q TPU_OK; then
     echo "TPU RECOVERED at attempt $i ($(date))"
-    flock "$LOCK" timeout 3000 python bench.py \
+    # bench.py takes the TPU lock itself now — wrapping it in flock here
+    # would hold the lock over bench's own bounded-wait acquisition
+    timeout 3000 python bench.py \
         > /tmp/bench_after_recovery.json \
         2>/tmp/bench_after_recovery.err
     echo "bench after recovery:"
